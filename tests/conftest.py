@@ -1,0 +1,35 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+exercised against XLA's host platform with 8 virtual devices instead
+(the same pjit/shard_map programs compile for real TPU meshes unchanged).
+
+Note: this environment's sitecustomize imports jax at interpreter boot, so
+env vars are too late — we must go through jax.config before any backend
+initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) >= 8, "tests expect 8 virtual CPU devices"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

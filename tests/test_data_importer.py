@@ -1,0 +1,135 @@
+"""Data layer tests: importer pipeline semantics + Laplacian feature selection
+vs a scipy/sklearn reimplementation of the reference math
+(feature_selection.py:11-48)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flexynesis_tpu.data.feature_selection import (
+    filter_by_laplacian,
+    laplacian_score,
+)
+from flexynesis_tpu.data.importer import DataImporter
+from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+
+def reference_laplacian_score(X, k=5):
+    from scipy.sparse import csgraph, diags
+    from sklearn.neighbors import kneighbors_graph
+
+    n = X.shape[0]
+    W = kneighbors_graph(X, k, mode="connectivity", include_self=True)
+    D_vec = np.array(W.sum(axis=1)).flatten()
+    D_inv_sqrt = diags(1.0 / np.sqrt(D_vec))
+    S = (D_inv_sqrt @ W @ D_inv_sqrt).toarray()
+    L = csgraph.laplacian(W, normed=True)
+    D = diags(D_vec)
+    F = X - (S @ X).sum(axis=0) / n
+    LF = np.asarray(L @ F)
+    DF = np.asarray(D @ F)
+    return (F * LF).sum(axis=0) / (F * DF).sum(axis=0)
+
+
+class TestLaplacianScore:
+    def test_matches_scipy_reference(self, rng):
+        X = rng.normal(size=(50, 20)).astype(np.float32)
+        ours = laplacian_score(X, k=5)
+        theirs = reference_laplacian_score(X.astype(np.float64), k=5)
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-4)
+
+    def test_ranking_agreement(self, rng):
+        # structured data: informative features should rank identically
+        cls = rng.integers(0, 3, size=80)
+        X = np.concatenate(
+            [
+                (cls[:, None] * 2 + rng.normal(0, 0.5, (80, 10))),
+                rng.normal(0, 1.0, (80, 30)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        ours = laplacian_score(X, k=5)
+        theirs = reference_laplacian_score(X.astype(np.float64), k=5)
+        # top-10 sets should agree
+        assert set(np.argsort(ours)[:10]) == set(np.argsort(theirs)[:10])
+
+    def test_filter_by_laplacian_topn(self, rng):
+        X = pd.DataFrame(
+            rng.normal(size=(40, 30)).astype(np.float32),
+            columns=[f"f{i}" for i in range(30)],
+        )
+        Xs, log = filter_by_laplacian(X, "gex", topN=10, correlation_threshold=0.9)
+        assert Xs.shape[1] == 10
+        assert log["selected"].sum() == 10
+
+    def test_no_selection_when_topn_exceeds(self, rng):
+        X = pd.DataFrame(rng.normal(size=(20, 5)).astype(np.float32))
+        Xs, _ = filter_by_laplacian(X, "gex", topN=10)
+        assert Xs.shape[1] == 5
+
+
+class TestDataImporter:
+    @pytest.fixture(scope="class")
+    def data_path(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("synth")
+        write_synthetic_folder(str(p), n_train=80, n_test=40, seed=1)
+        return str(p)
+
+    def test_end_to_end_import(self, data_path):
+        imp = DataImporter(
+            data_path,
+            ["gex", "cnv"],
+            top_percentile=50,
+            min_features=20,
+            variance_threshold=0.01,
+        )
+        train, test = imp.import_data()
+        assert set(train.dat.keys()) == {"gex", "cnv"}
+        # harmonized features
+        assert train.features["gex"] == test.features["gex"]
+        assert train.dat["gex"].shape[1] == test.dat["gex"].shape[1]
+        # train-normalized: mean ~0, std ~1
+        assert abs(float(np.mean(train.dat["gex"]))) < 1e-4
+        np.testing.assert_allclose(np.std(train.dat["gex"], axis=0), 1.0, atol=1e-3)
+        # labels
+        assert train.variable_types["subtype"] == "categorical"
+        assert train.variable_types["age"] == "numerical"
+        assert set(train.label_mappings["subtype"].values()) >= {"grp0", "grp1"}
+        # missing categorical labels encoded as NaN or -1 (OrdinalEncoder keeps NaN)
+        assert len(train) == train.dat["gex"].shape[0]
+        # scalers stored for inference
+        assert "gex" in imp.scalers
+
+    def test_early_fusion_concat(self, data_path):
+        imp = DataImporter(
+            data_path, ["gex", "cnv"], concatenate=True, top_percentile=50,
+            min_features=10,
+        )
+        train, test = imp.import_data()
+        assert list(train.dat.keys()) == ["all"]
+        assert train.dat["all"].shape[1] == len(train.features["all"])
+
+    def test_covariates_modality(self, data_path):
+        imp = DataImporter(
+            data_path, ["gex"], covariates=["age"], top_percentile=50,
+            min_features=10,
+        )
+        train, test = imp.import_data()
+        assert "covariates" in train.dat
+        assert train.dat["covariates"].shape[1] == 1
+
+    def test_encode_labels_unknown_to_minus_one(self, data_path):
+        imp = DataImporter(data_path, ["gex"], top_percentile=0)
+        df_train = pd.DataFrame({"grp": ["a", "b", "a"]}, index=["s1", "s2", "s3"])
+        enc, types, mapping = imp.encode_labels(df_train)
+        assert types["grp"] == "categorical"
+        df_test = pd.DataFrame({"grp": ["b", "zzz"]}, index=["t1", "t2"])
+        enc2, _, _ = imp.encode_labels(df_test)
+        assert enc2["grp"].tolist() == [1.0, -1.0]
+
+    def test_downsample(self, data_path):
+        imp = DataImporter(
+            data_path, ["gex"], downsample=30, top_percentile=50, min_features=10
+        )
+        train, _ = imp.import_data()
+        assert len(train) == 30
