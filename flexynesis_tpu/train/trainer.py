@@ -1,0 +1,235 @@
+"""Jit-compiled training loop — the framework's replacement for the
+reference's PyTorch-Lightning runtime (main.py:192-225 setup_trainer).
+
+Design (TPU-first, see SURVEY.md §7.1):
+
+* The whole dataset lives on device as dict-of-(N, F) float32 arrays; a
+  "batch" is a static-shape gather by a permutation slice, so one compiled
+  program serves every epoch (no DataLoader, no host-device churn).
+* One epoch = ``lax.scan`` over ``train_step`` across the shuffled batch
+  index table; epochs advance in a thin Python loop that only reads back a
+  scalar val_loss for early stopping (reference main.py:420-427 semantics:
+  monitor val_loss, mode min, patience from --early_stop_patience).
+* Optimizer: Adam(lr) + global-norm grad clipping 1.0, matching
+  reference main.py:216-217 / direct_pred.py:135-144.
+* Optional data-parallel sharding: pass a Mesh and batches are sharded over
+  the 'data' axis while parameters are replicated (XLA inserts the psum).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    batch_stats: Any
+    val_loss: float
+    epochs_run: int
+    history: Dict[str, list] = field(default_factory=dict)
+    wall_time_s: float = 0.0
+
+
+class EarlyStopper:
+    """val_loss early stopping: Lightning EarlyStopping(mode="min") semantics."""
+
+    def __init__(self, patience: int, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = float("inf")
+        self.count = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        if self.patience is None or self.patience < 0:
+            return False
+        if value < self.best - self.min_delta:
+            self.best = value
+            self.count = 0
+            return False
+        self.count += 1
+        return self.count >= self.patience
+
+
+def make_optimizer(lr: float, grad_clip: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+class Trainer:
+    """Owns the jitted train/val step for a model's pure loss function.
+
+    ``loss_fn(params, batch_stats, batch, rng, train)`` must return
+    ``(total_loss, (losses_dict, new_batch_stats))`` — models provide this.
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        lr: float,
+        grad_clip: float = 1.0,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.loss_fn = loss_fn
+        self.optimizer = make_optimizer(lr, grad_clip)
+        self.mesh = mesh
+        self._train_epoch = None
+        self._val_step = None
+
+    # ------------------------------------------------------------ internals
+
+    def _build(self):
+        loss_fn = self.loss_fn
+        optimizer = self.optimizer
+
+        def train_step(carry, batch_idx, data):
+            params, opt_state, batch_stats, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            batch = jax.tree.map(lambda a: a[batch_idx], data)
+
+            def wrapped(p):
+                return loss_fn(p, batch_stats, batch, step_rng, True)
+
+            (loss, (_, new_stats)), grads = jax.value_and_grad(
+                wrapped, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, new_stats, rng), loss
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_epoch(params, opt_state, batch_stats, rng, perm, data):
+            (params, opt_state, batch_stats, rng), losses = jax.lax.scan(
+                lambda c, i: train_step(c, i, data),
+                (params, opt_state, batch_stats, rng),
+                perm,
+            )
+            return params, opt_state, batch_stats, rng, jnp.mean(losses)
+
+        @jax.jit
+        def val_step(params, batch_stats, batch):
+            _, (losses, _) = loss_fn(params, batch_stats, batch, None, False)
+            total = sum(losses.values())
+            return total, losses
+
+        self._train_epoch = train_epoch
+        self._val_step = val_step
+
+    # ---------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        params,
+        batch_stats,
+        train_data: Dict[str, Any],
+        val_data: Optional[Dict[str, Any]],
+        *,
+        n_samples: int,
+        batch_size: int,
+        max_epochs: int,
+        early_stop_patience: int = -1,
+        rng: Optional[jax.Array] = None,
+        log_every: int = 0,
+    ) -> TrainResult:
+        """Train; returns best-by-val-loss parameters when val_data is given.
+
+        ``train_data``/``val_data`` are pytrees whose leaves all have a
+        leading sample axis (model inputs AND labels together).
+        """
+        if self._train_epoch is None:
+            self._build()
+        rng = rng if rng is not None else jax.random.key(0)
+
+        batch_size = min(batch_size, n_samples)
+        n_batches = max(n_samples // batch_size, 1)
+
+        opt_state = self.optimizer.init(params)
+        stopper = EarlyStopper(early_stop_patience)
+        best_val = float("inf")
+        best = (params, batch_stats)
+        history = {"train_loss": [], "val_loss": []}
+
+        t0 = time.perf_counter()
+        epochs_run = 0
+        for epoch in range(max_epochs):
+            rng, perm_rng = jax.random.split(rng)
+            perm = jax.random.permutation(perm_rng, n_samples)[
+                : n_batches * batch_size
+            ].reshape(n_batches, batch_size)
+            params, opt_state, batch_stats, rng, train_loss = self._train_epoch(
+                params, opt_state, batch_stats, rng, perm, train_data
+            )
+            epochs_run = epoch + 1
+
+            if val_data is not None:
+                val_loss, _ = self._val_step(params, batch_stats, val_data)
+                val_loss = float(val_loss)
+                history["val_loss"].append(val_loss)
+                if val_loss < best_val:
+                    best_val = val_loss
+                    # deep-copy: the live buffers are donated to the next epoch
+                    best = jax.tree.map(jnp.copy, (params, batch_stats))
+                if log_every and (epoch % log_every == 0):
+                    print(
+                        f"[epoch {epoch}] train_loss={float(train_loss):.4f} "
+                        f"val_loss={val_loss:.4f}"
+                    )
+                if stopper.update(val_loss):
+                    break
+            else:
+                history["train_loss"].append(float(train_loss))
+                if log_every and (epoch % log_every == 0):
+                    print(f"[epoch {epoch}] train_loss={float(train_loss):.4f}")
+
+        if val_data is None:
+            best = (params, batch_stats)
+            best_val = float(history["train_loss"][-1]) if history["train_loss"] else 0.0
+
+        return TrainResult(
+            params=best[0],
+            batch_stats=best[1],
+            val_loss=best_val,
+            epochs_run=epochs_run,
+            history=history,
+            wall_time_s=time.perf_counter() - t0,
+        )
+
+    def validate(self, params, batch_stats, data) -> float:
+        if self._val_step is None:
+            self._build()
+        loss, _ = self._val_step(params, batch_stats, data)
+        return float(loss)
+
+
+def train_val_split(
+    n: int, val_size: float, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """Random train/val split of sample indices (reference main.py:267-280)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_val = int(np.ceil(n * val_size))
+    return perm[n_val:], perm[:n_val]
+
+
+def kfold_indices(n: int, k: int = 5, seed: int = 42):
+    """K-fold splits of sample indices (reference main.py:267-280 CV branch)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    folds = np.array_split(perm, k)
+    out = []
+    for i in range(k):
+        val = folds[i]
+        train = np.concatenate([folds[j] for j in range(k) if j != i])
+        out.append((train, val))
+    return out
