@@ -1,0 +1,201 @@
+"""Marker discovery: IntegratedGradients / GradientShap as jax.grad programs.
+
+Capability parity with the reference's Captum usage (per-model
+``compute_feature_importance``, e.g. direct_pred.py:432-590): zero baselines,
+per-class attributions, |attr| summed over samples / divided by n, assembled
+into a tidy DataFrame (target_variable / target_class / target_class_label /
+layer / name / importance).
+
+TPU-first design: Captum's python loop over IG steps becomes a single
+``vmap`` over interpolation points whose gradients are computed in one
+batched VJP; classes are likewise vmapped. IG uses Gauss-Legendre quadrature
+nodes/weights, matching Captum's default ``method="gausslegendre"``.
+GradientShap draws uniform path scales with N(0, stdev) input noise
+(stdevs=0 with zero baselines in the reference CLI) via jax.random.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+
+def _gauss_legendre(n_steps: int):
+    """Nodes/weights on [0, 1] (Captum's default IG quadrature)."""
+    nodes, weights = np.polynomial.legendre.leggauss(n_steps)
+    return (nodes + 1.0) * 0.5, weights * 0.5
+
+
+def integrated_gradients(
+    forward,  # params-free fn: {layer: (B, F)} -> (B, n_out)
+    x: Dict[str, jnp.ndarray],
+    target_class: int,
+    n_steps: int,
+    single_output: bool,
+):
+    """IG attributions w.r.t. every input layer, zero baseline.
+
+    attr = x * sum_k w_k * d f(a_k * x) / dx  evaluated at Gauss-Legendre
+    nodes a_k — one vmapped gradient over all steps.
+    """
+    alphas, weights = _gauss_legendre(n_steps)
+    alphas = jnp.asarray(alphas, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+
+    def scalar_out(xs):
+        out = forward(xs)
+        if single_output:
+            return jnp.sum(out)
+        return jnp.sum(out[:, target_class])
+
+    def grad_at(alpha):
+        return jax.grad(scalar_out)(jax.tree.map(lambda a: a * alpha, x))
+
+    grads = jax.vmap(grad_at)(alphas)  # {layer: (steps, B, F)}
+    avg = jax.tree.map(
+        lambda g: jnp.tensordot(weights, g, axes=1), grads
+    )  # {layer: (B, F)}
+    return jax.tree.map(lambda a, g: a * g, x, avg)
+
+
+def gradient_shap(
+    forward,
+    x: Dict[str, jnp.ndarray],
+    target_class: int,
+    n_samples: int,
+    single_output: bool,
+    rng: jax.Array,
+    stdevs: float = 0.0,
+):
+    """GradientShap with zero baselines: attr = E_u[ grad f(u*x + noise) ] * x."""
+
+    def scalar_out(xs):
+        out = forward(xs)
+        if single_output:
+            return jnp.sum(out)
+        return jnp.sum(out[:, target_class])
+
+    def sample_attr(key):
+        ku, kn = jax.random.split(key)
+        # one uniform scale per (sample, draw) — Captum rand_coefficient
+        u = {
+            k: jax.random.uniform(
+                jax.random.fold_in(ku, i), (v.shape[0],) + (1,) * (v.ndim - 1)
+            )
+            for i, (k, v) in enumerate(x.items())
+        }
+        pt = {
+            k: x[k] * u[k]
+            + (
+                stdevs
+                * jax.random.normal(jax.random.fold_in(kn, i), x[k].shape)
+                if stdevs > 0
+                else 0.0
+            )
+            for i, k in enumerate(x)
+        }
+        g = jax.grad(scalar_out)(pt)
+        return jax.tree.map(lambda a, gg: a * gg, x, g)
+
+    keys = jax.random.split(rng, n_samples)
+    attrs = jax.vmap(sample_attr)(keys)
+    return jax.tree.map(lambda a: jnp.mean(a, axis=0), attrs)
+
+
+@partial(jax.jit, static_argnames=("forward", "n_steps", "n_class", "method"))
+def _all_class_abs_attr(
+    forward, x, n_steps: int, n_class: int, method: str, rng
+):
+    """(n_class, ) tree of sum_over_batch |attr| per layer, one compiled program."""
+    single = n_class == 1
+
+    def per_class(c):
+        if method == "IntegratedGradients":
+            attr = integrated_gradients(forward, x, c, n_steps, single)
+        else:
+            attr = gradient_shap(forward, x, c, n_steps, single, rng)
+        return jax.tree.map(lambda a: jnp.sum(jnp.abs(a), axis=0), attr)
+
+    # class axis is tiny and head weights differ per class -> unrolled python
+    # loop at trace time (still one jit program; XLA parallelizes freely)
+    return [per_class(c) for c in range(n_class)]
+
+
+def compute_feature_importance(
+    model,
+    dataset,
+    target_var: str,
+    method: str = "IntegratedGradients",
+    steps_or_samples: int = 5,
+    batch_size: int = 512,
+    rng_seed: int = 42,
+) -> pd.DataFrame:
+    """Tidy per-feature importance table for one target variable."""
+    if method not in ("IntegratedGradients", "GradientShap"):
+        raise ValueError(
+            f"Unsupported method '{method}'. Choose 'IntegratedGradients' or 'GradientShap'."
+        )
+    params, batch_stats = model.params, model.batch_stats
+    layers: List[str] = model.layers
+
+    def forward(x):
+        return model._attribution_forward(params, batch_stats, x, target_var)
+
+    if dataset.variable_types[target_var] == "numerical":
+        n_class = 1
+    else:
+        from ..models.base import num_classes_for
+
+        n_class = num_classes_for(dataset.ann[target_var])
+
+    n = len(dataset)
+    sums = None
+    rng = jax.random.key(rng_seed)
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        x = {k: jnp.asarray(dataset.dat[k][idx]) for k in layers}
+        if len(idx) < batch_size and n > batch_size:
+            # zero-pad the ragged tail so one compiled shape serves all
+            # batches; zero inputs have exactly zero attribution here
+            # (x * grad with x = 0), so sums are unaffected
+            pad = batch_size - len(idx)
+            x = {k: jnp.pad(v, ((0, pad), (0, 0))) for k, v in x.items()}
+        rng, sub = jax.random.split(rng)
+        per_class = _all_class_abs_attr(
+            forward, x, int(steps_or_samples), int(n_class), method, sub
+        )
+        if sums is None:
+            sums = per_class
+        else:
+            sums = [
+                jax.tree.map(lambda a, b: a + b, s, p)
+                for s, p in zip(sums, per_class)
+            ]
+
+    rows = []
+    for c in range(n_class):
+        label = (
+            dataset.label_mappings[target_var].get(c)
+            if target_var in dataset.label_mappings
+            else ""
+        )
+        for layer in layers:
+            imp = np.asarray(sums[c][layer]) / n
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "target_variable": target_var,
+                        "target_class": c,
+                        "target_class_label": label,
+                        "layer": layer,
+                        "name": list(dataset.features[layer]),
+                        "importance": imp,
+                    }
+                )
+            )
+    return pd.concat(rows, ignore_index=True)
