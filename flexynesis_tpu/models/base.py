@@ -194,6 +194,42 @@ class BaseModel:
         )
         return total, (losses, new_stats)
 
+    def fit(
+        self,
+        dataset: MultiOmicDataset,
+        train_idx=None,
+        val_idx=None,
+        *,
+        lr: float,
+        batch_size: int,
+        max_epochs: int,
+        early_stop_patience: int = -1,
+        seed: int = 42,
+        mesh=None,
+    ):
+        """Train this model on (a subset of) a dataset; stores best params."""
+        from ..train.trainer import Trainer
+
+        self.init_params(dataset, seed)
+        if train_idx is None:
+            train_idx = np.arange(len(dataset))
+        train_data = self.make_batch(dataset, train_idx)
+        val_data = self.make_batch(dataset, val_idx) if val_idx is not None else None
+        trainer = Trainer(self.loss_fn, lr=lr, mesh=mesh)
+        res = trainer.fit(
+            self.params,
+            self.batch_stats,
+            train_data,
+            val_data,
+            n_samples=len(train_idx),
+            batch_size=batch_size,
+            max_epochs=max_epochs,
+            early_stop_patience=early_stop_patience,
+            rng=jax.random.key(seed),
+        )
+        self.params, self.batch_stats = res.params, res.batch_stats
+        return res
+
     # ----------------------------------------------------------- inference API
 
     def _forward_eval(self, x: Dict[str, jnp.ndarray]):

@@ -1,0 +1,251 @@
+"""Hyperparameter optimization engine.
+
+Capability parity with /root/reference/flexynesis/main.py (HyperparameterTuning,
+main.py:28-456): GP Bayesian optimization with 10 initial points, per-trial
+training with a val split or k-fold CV, HPO-level patience, YAML search-space
+override, dataset-size-derived batch-size space (main.py:183-190), and a
+final full-data retrain when CV is used (main.py:406-416).
+
+TPU-first changes:
+* the skopt GP is replaced by the native batched-ask optimizer (gp.py);
+  ``batch_ask > 1`` evaluates several suggestions per round — the hook for
+  fanning trials out across a device mesh (parallel/trials.py);
+* trials run through the jit-compiled Trainer — quantized search dimensions
+  (config.py) make consecutive trials reuse compiled executables;
+* HPO state (observations + RNG + best) checkpoints to JSON every iteration,
+  making long sweeps preemption-safe (the reference has no mid-run resume —
+  SURVEY.md §5.3/§5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import get_search_space
+from .gp import BayesianOptimizer
+from .space import Categorical, SearchSpace, load_and_convert_config
+from .trainer import kfold_indices, train_val_split
+
+
+class HyperparameterTuning:
+    def __init__(
+        self,
+        dataset,
+        model_class,
+        config_name: str,
+        target_variables: List[str],
+        batch_variables: Optional[List[str]] = None,
+        surv_event_var: Optional[str] = None,
+        surv_time_var: Optional[str] = None,
+        n_iter: int = 10,
+        config_path: Optional[str] = None,
+        plot_losses: bool = False,
+        val_size: float = 0.2,
+        use_cv: bool = False,
+        cv_splits: int = 5,
+        use_loss_weighting: bool = True,
+        early_stop_patience: int = -1,
+        device_type: Optional[str] = None,
+        gnn_conv_type: Optional[str] = None,
+        input_layers=None,
+        output_layers=None,
+        num_workers: int = 0,
+        checkpoint_path: Optional[str] = None,
+        batch_ask: int = 1,
+        seed: int = 42,
+    ):
+        self.dataset = dataset
+        self.model_class = model_class
+        self.config_name = config_name
+        self.target_variables = target_variables
+        self.batch_variables = batch_variables
+        self.surv_event_var = surv_event_var
+        self.surv_time_var = surv_time_var
+        self.n_iter = n_iter
+        self.plot_losses = plot_losses
+        self.val_size = val_size
+        self.use_cv = use_cv
+        self.n_splits = cv_splits
+        self.use_loss_weighting = use_loss_weighting
+        self.early_stop_patience = early_stop_patience
+        self.device_type = device_type
+        self.gnn_conv_type = gnn_conv_type
+        self.input_layers = input_layers
+        self.output_layers = output_layers
+        self.checkpoint_path = checkpoint_path
+        self.batch_ask = max(int(batch_ask), 1)
+        self.seed = seed
+
+        if config_path:
+            external = load_and_convert_config(config_path)
+            if self.config_name not in external:
+                raise ValueError(
+                    f"'{self.config_name}' not found in the provided config file."
+                )
+            self.space: SearchSpace = external[self.config_name]
+        else:
+            self.space = get_search_space(self.config_name)
+            self.space.append(self.get_batch_space())
+
+    def get_batch_space(self, min_size: int = 32, max_size: int = 128) -> Categorical:
+        """Power-of-two batch sizes capped by log2(0.8 * n) (main.py:183-190)."""
+        m = int(np.log2(len(self.dataset) * 0.8))
+        st = int(np.log2(min_size))
+        end = min(int(np.log2(max_size)), m)
+        sizes = [int(2**x) for x in range(st, end + 1)] or [min_size]
+        return Categorical(sizes, name="batch_size")
+
+    # ------------------------------------------------------------- objective
+
+    def _model_args(self, params: dict) -> dict:
+        args = {
+            "config": params,
+            "dataset": self.dataset,
+            "target_variables": self.target_variables,
+            "batch_variables": self.batch_variables,
+            "surv_event_var": self.surv_event_var,
+            "surv_time_var": self.surv_time_var,
+            "use_loss_weighting": self.use_loss_weighting,
+            "device_type": self.device_type,
+        }
+        if self.model_class.__name__ == "GNN":
+            args["gnn_conv_type"] = self.gnn_conv_type
+        if self.model_class.__name__ == "CrossModalPred":
+            args["input_layers"] = self.input_layers
+            args["output_layers"] = self.output_layers
+        return args
+
+    def objective(self, params: dict, full_train: bool = False):
+        """Train with ``params``; returns (avg_val_loss, avg_epochs, model),
+        or just the trained model when full_train=True (main.py:228-332)."""
+        n = len(self.dataset)
+        if full_train:
+            model = self.model_class(**self._model_args(params))
+            model.fit(
+                self.dataset,
+                lr=params["lr"],
+                batch_size=int(params["batch_size"]),
+                max_epochs=int(params["epochs"]),
+                early_stop_patience=-1,
+                seed=self.seed,
+            )
+            return model
+
+        if self.use_cv:
+            splits = kfold_indices(n, self.n_splits, seed=self.seed)
+        else:
+            splits = [train_val_split(n, self.val_size, seed=self.seed)]
+
+        losses, epochs = [], []
+        model = None
+        for train_idx, val_idx in splits:
+            model = self.model_class(**self._model_args(params))
+            res = model.fit(
+                self.dataset,
+                train_idx,
+                val_idx,
+                lr=params["lr"],
+                batch_size=int(params["batch_size"]),
+                max_epochs=int(params["epochs"]),
+                early_stop_patience=self.early_stop_patience,
+                seed=self.seed,
+            )
+            losses.append(res.val_loss)
+            epochs.append(res.epochs_run)
+        return float(np.mean(losses)), int(np.mean(epochs)), model
+
+    # -------------------------------------------------------------- tuning
+
+    def _save_checkpoint(self, opt, best_params, best_loss, iteration):
+        if not self.checkpoint_path:
+            return
+        state = {
+            "optimizer": opt.state_dict(),
+            "best_params": best_params,
+            "best_loss": best_loss,
+            "best_epochs": self._best_epochs,
+            "iteration": iteration,
+            "config_name": self.config_name,
+        }
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self.checkpoint_path)
+
+    def _load_checkpoint(self, opt):
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            with open(self.checkpoint_path) as fh:
+                state = json.load(fh)
+            if state.get("config_name") == self.config_name:
+                opt.load_state_dict(state["optimizer"])
+                print(
+                    f"[INFO] Resuming HPO from iteration {state['iteration']} "
+                    f"(best loss {state['best_loss']})"
+                )
+                return state
+        return None
+
+    def perform_tuning(self, hpo_patience: int = 0):
+        opt = BayesianOptimizer(self.space, n_initial_points=10, seed=self.seed)
+        best_loss = np.inf
+        best_params = None
+        best_epochs = 0
+        best_model = None
+        no_improvement = 0
+        start_iter = 0
+
+        self._best_epochs = 0
+        resume = self._load_checkpoint(opt)
+        if resume is not None:
+            best_loss = resume["best_loss"]
+            best_params = resume["best_params"]
+            best_epochs = resume.get("best_epochs", 0)
+            self._best_epochs = best_epochs
+            start_iter = resume["iteration"]
+
+        i = start_iter
+        while i < self.n_iter:
+            q = min(self.batch_ask, self.n_iter - i)
+            suggestions = opt.ask(q)
+            for params in suggestions:
+                t0 = time.perf_counter()
+                loss, avg_epochs, model = self.objective(params)
+                opt.tell(params, loss)
+                i += 1
+                if loss < best_loss:
+                    best_loss = loss
+                    best_params = dict(params)
+                    best_epochs = avg_epochs
+                    self._best_epochs = avg_epochs
+                    best_model = model
+                    no_improvement = 0
+                else:
+                    no_improvement += 1
+                print(
+                    f"[INFO] HPO iter {i}/{self.n_iter}: loss={loss:.4f} "
+                    f"best={best_loss:.4f} ({time.perf_counter() - t0:.1f}s) "
+                    f"params={params}"
+                )
+                self._save_checkpoint(opt, best_params, float(best_loss), i)
+            if hpo_patience > 0 and no_improvement >= hpo_patience:
+                print(
+                    f"[INFO] No improvement for {hpo_patience} HPO iterations — "
+                    "stopping early."
+                )
+                break
+
+        best_params = dict(best_params)
+        best_params["epochs"] = max(best_epochs, 1)
+
+        if self.use_cv or best_model is None:
+            # CV keeps no single model; a fully-resumed run has none either —
+            # retrain on the full dataset with the best parameters
+            print(f"[INFO] Final full-data training with best params: {best_params}")
+            best_model = self.objective(best_params, full_train=True)
+
+        return best_model, best_params

@@ -1,0 +1,131 @@
+"""HPO engine tests: GP-BO sanity, search space transforms, end-to-end tuning."""
+
+import json
+
+import numpy as np
+import pytest
+
+from flexynesis_tpu.config import get_search_space
+from flexynesis_tpu.data.importer import DataImporter
+from flexynesis_tpu.models.direct_pred import DirectPred
+from flexynesis_tpu.train.gp import BayesianOptimizer, GaussianProcess
+from flexynesis_tpu.train.hpo import HyperparameterTuning
+from flexynesis_tpu.train.space import Categorical, Integer, Real, SearchSpace
+from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+
+class TestSpace:
+    def test_roundtrips(self):
+        dims = [
+            Integer(16, 128, name="a", quantize=16),
+            Real(1e-4, 1e-2, name="b", prior="log-uniform"),
+            Real(0.2, 0.5, name="c"),
+            Categorical([32, 64, 128], name="d"),
+        ]
+        space = SearchSpace(dims)
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            p = space.sample(rng)
+            assert 16 <= p["a"] <= 128 and p["a"] % 16 == 0
+            assert 1e-4 <= p["b"] <= 1e-2
+            assert p["d"] in (32, 64, 128)
+            u = space.to_unit(p)
+            p2 = space.from_unit(u)
+            assert p2["a"] == p["a"] and p2["d"] == p["d"]
+            np.testing.assert_allclose(p2["b"], p["b"], rtol=1e-9)
+
+    def test_default_spaces(self):
+        for name in ("DirectPred", "supervised_vae", "GNN"):
+            sp = get_search_space(name)
+            assert "latent_dim" in sp.names and "lr" in sp.names
+
+
+class TestGP:
+    def test_gp_fits_smooth_function(self, rng):
+        X = rng.random((30, 2))
+        y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2
+        gp = GaussianProcess(X, y)
+        mu, sigma = gp.predict(X)
+        # interpolation should be decent at training points
+        assert np.abs(mu - y).mean() < 0.1
+
+    def test_bo_minimizes_quadratic(self):
+        space = SearchSpace([Real(-1, 1, name="x"), Real(-1, 1, name="y")])
+        opt = BayesianOptimizer(space, n_initial_points=8, seed=0)
+        for _ in range(40):
+            (p,) = opt.ask(1)
+            opt.tell(p, (p["x"] - 0.3) ** 2 + (p["y"] + 0.2) ** 2)
+        best, val = opt.best
+        assert val < 0.05, f"BO failed to reduce loss (best={val})"
+
+    def test_batched_ask_diversity(self):
+        space = SearchSpace([Real(0, 1, name="x")])
+        opt = BayesianOptimizer(space, n_initial_points=2, seed=0)
+        for v in (0.1, 0.9, 0.5, 0.3):
+            opt.tell({"x": v}, (v - 0.4) ** 2)
+        batch = opt.ask(4)
+        xs = [p["x"] for p in batch]
+        assert len(set(np.round(xs, 3))) > 1, "constant-liar batch collapsed"
+
+    def test_state_roundtrip(self):
+        space = SearchSpace([Real(0, 1, name="x")])
+        opt = BayesianOptimizer(space, seed=1)
+        opt.tell({"x": 0.5}, 1.0)
+        state = json.loads(json.dumps(opt.state_dict()))
+        opt2 = BayesianOptimizer(space, seed=99)
+        opt2.load_state_dict(state)
+        assert opt2.y == [1.0]
+
+
+class TestHPOE2E:
+    @pytest.fixture(scope="class")
+    def train_ds(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("hpo")
+        write_synthetic_folder(str(p), n_train=100, n_test=40, seed=7)
+        imp = DataImporter(str(p), ["gex"], top_percentile=50, min_features=20)
+        train, _ = imp.import_data()
+        return train
+
+    def test_perform_tuning(self, train_ds, tmp_path):
+        ckpt = str(tmp_path / "hpo_state.json")
+        tuner = HyperparameterTuning(
+            train_ds,
+            DirectPred,
+            "DirectPred",
+            target_variables=["subtype"],
+            n_iter=3,
+            early_stop_patience=3,
+            checkpoint_path=ckpt,
+        )
+        # shrink epochs for test speed
+        for d in tuner.space.dimensions:
+            if d.name == "epochs":
+                d.categories = [10]
+        model, best = tuner.perform_tuning()
+        assert model is not None
+        assert "lr" in best and "batch_size" in best and "epochs" in best
+        assert model.params is not None
+        # checkpoint written and resumable
+        state = json.load(open(ckpt))
+        assert state["iteration"] == 3
+
+        # resume: a new tuner with same checkpoint skips completed iterations
+        tuner2 = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=3, checkpoint_path=ckpt,
+        )
+        for d in tuner2.space.dimensions:
+            if d.name == "epochs":
+                d.categories = [10]
+        import time
+        t0 = time.time()
+        model2, _ = tuner2.perform_tuning()
+        assert time.time() - t0 < 30, "resume should skip completed trials"
+
+    def test_batch_size_space_scales_with_dataset(self, train_ds):
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=1,
+        )
+        cats = [d for d in tuner.space.dimensions if d.name == "batch_size"][0]
+        assert cats.categories == [32, 64]  # log2(0.8*100) = 6 -> max 64
