@@ -160,6 +160,7 @@ class MultiOmicDatasetNW:
 
     def __init__(self, dataset: MultiOmicDataset, interaction_df):
         self.dataset = dataset
+        self.multiomic_dataset = dataset
         genes_graph = set(interaction_df["protein1"]) | set(
             interaction_df["protein2"]
         )
@@ -187,8 +188,13 @@ class MultiOmicDatasetNW:
                 j = fpos.get(g)
                 if j is not None:
                     tensor[:, ni, li] = dataset.dat[layer][:, j]
-        # nanmedian fill per (node, modality) — reference data.py:1209-1248
-        med = np.nanmedian(tensor, axis=0)
+        # nanmedian fill per (node, modality) — reference data.py:1209-1248;
+        # nodes absent from a modality are all-NaN there (filled with 0 below)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore", "All-NaN slice encountered")
+            med = np.nanmedian(tensor, axis=0)
         med = np.where(np.isnan(med), 0.0, med)
         nan_mask = np.isnan(tensor)
         tensor[nan_mask] = np.broadcast_to(med, tensor.shape)[nan_mask]
@@ -207,11 +213,32 @@ class MultiOmicDatasetNW:
         self.variable_types = dataset.variable_types
         self.samples = dataset.samples
         self.label_mappings = dataset.label_mappings
-        self.features = {"all": list(self.node_names)}
+        self.common_features = list(self.node_names)
+        # flattened (samples, nodes * modalities) view consumed by the model;
+        # feature names are per-(node, modality) for generic tooling
+        self.features = {
+            "all": [
+                f"{g}:{layer}" for g in self.node_names for layer in layers
+            ]
+        }
         self.dat = {"all": self.node_features.reshape(n_samples, -1)}
 
     def __len__(self) -> int:
         return len(self.samples)
+
+    def as_arrays(self):
+        return self.dat, self.ann
+
+    def subset(self, indices) -> "MultiOmicDatasetNW":
+        import copy
+
+        indices = np.asarray(indices)
+        new = copy.copy(self)
+        new.node_features = self.node_features[indices]
+        new.dat = {"all": self.dat["all"][indices]}
+        new.ann = {k: v[indices] for k, v in self.ann.items()}
+        new.samples = [self.samples[int(i)] for i in indices]
+        return new
 
     def print_stats(self) -> None:
         n_nodes = len(self.node_names)

@@ -126,7 +126,7 @@ def _all_class_abs_attr(
     return [per_class(c) for c in range(n_class)]
 
 
-def compute_feature_importance(
+def abs_attribution_sums(
     model,
     dataset,
     target_var: str,
@@ -134,8 +134,11 @@ def compute_feature_importance(
     steps_or_samples: int = 5,
     batch_size: int = 512,
     rng_seed: int = 42,
-) -> pd.DataFrame:
-    """Tidy per-feature importance table for one target variable."""
+):
+    """Per-class, per-layer sum of |attributions| over all samples.
+
+    Returns (sums, n_class, n) where sums[c][layer] is a (n_features,) array.
+    """
     if method not in ("IntegratedGradients", "GradientShap"):
         raise ValueError(
             f"Unsupported method '{method}'. Choose 'IntegratedGradients' or 'GradientShap'."
@@ -176,7 +179,25 @@ def compute_feature_importance(
                 jax.tree.map(lambda a, b: a + b, s, p)
                 for s, p in zip(sums, per_class)
             ]
+    return sums, n_class, n
 
+
+def compute_feature_importance(
+    model,
+    dataset,
+    target_var: str,
+    method: str = "IntegratedGradients",
+    steps_or_samples: int = 5,
+    batch_size: int = 512,
+    rng_seed: int = 42,
+) -> pd.DataFrame:
+    """Tidy per-feature importance table for one target variable."""
+    sums, n_class, n = abs_attribution_sums(
+        model, dataset, target_var,
+        method=method, steps_or_samples=steps_or_samples,
+        batch_size=batch_size, rng_seed=rng_seed,
+    )
+    layers: List[str] = model.layers
     rows = []
     for c in range(n_class):
         label = (

@@ -236,11 +236,15 @@ class BaseModel:
         out, _ = self._apply(self.params, self.batch_stats, x, None, False)
         return out
 
+    def make_eval_x(self, dataset: MultiOmicDataset) -> Dict[str, jnp.ndarray]:
+        """Plain {layer: matrix} inputs for predict/transform/attribution."""
+        dat, _ = dataset.as_arrays()
+        return {k: jnp.asarray(dat[k]) for k in self.layers}
+
     def predict(self, dataset: MultiOmicDataset) -> Dict[str, np.ndarray]:
         """Per-variable predictions: softmax probabilities for categorical
         variables, raw outputs for numerical (direct_pred.py:296-351)."""
-        batch = self.make_batch(dataset)
-        out = self._forward_eval(batch["x"])
+        out = self._forward_eval(self.make_eval_x(dataset))
         preds = {}
         for var in self.variables:
             logits = out["outputs"][var]
@@ -252,8 +256,7 @@ class BaseModel:
 
     def transform(self, dataset: MultiOmicDataset) -> pd.DataFrame:
         """Latent embeddings as a DataFrame (direct_pred.py:353-415)."""
-        batch = self.make_batch(dataset)
-        out = self._forward_eval(batch["x"])
+        out = self._forward_eval(self.make_eval_x(dataset))
         emb = np.asarray(out["embeddings"])
         return pd.DataFrame(
             emb,

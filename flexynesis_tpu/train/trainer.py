@@ -96,7 +96,12 @@ class Trainer:
         def train_step(carry, batch_idx, data):
             params, opt_state, batch_stats, rng = carry
             rng, step_rng = jax.random.split(rng)
-            batch = jax.tree.map(lambda a: a[batch_idx], data)
+            # top-level keys starting with '_' are broadcast whole into every
+            # batch (e.g. the full matrices the triplet sampler gathers from)
+            batch = {
+                k: (v if k.startswith("_") else jax.tree.map(lambda a: a[batch_idx], v))
+                for k, v in data.items()
+            }
 
             def wrapped(p):
                 return loss_fn(p, batch_stats, batch, step_rng, True)
