@@ -1,0 +1,166 @@
+"""Benchmark: HPO trial throughput, DirectPred training throughput, IG time.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+Headline = HPO trials/hour on a BRCA-scale synthetic 2-omic task (the
+BASELINE.md target: >=20x the reference's sequential wall-clock). The
+baseline is measured in-process: an equivalent PyTorch-CPU DirectPred
+(same shapes: Linear->BatchNorm->ReLU->Dropout->Linear encoders, fusion,
+supervisor head, Adam + grad-clip 1.0, same batch size/epochs) trained
+sequentially — the same compute the reference performs per trial
+(reference models/direct_pred.py + main.py setup_trainer, devices=1).
+
+Ours: K trials trained concurrently via vmap (parallel/trials.py) on the
+TPU chip. Scale: n=2000 samples, gex=2000 + cnv=1000 features (post-
+feature-selection BRCA-like), latent 64.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# BRCA-like scale after feature selection
+N_SAMPLES = 2000
+GEX, CNV = 2000, 1000
+LATENT = 64
+HIDDEN_FACTOR = 0.3
+SUP_HIDDEN = 16
+BATCH = 64
+EPOCHS = 10
+N_CLASSES = 4
+K_TRIALS = 8
+
+
+def _synth():
+    rng = np.random.default_rng(0)
+    cls = rng.integers(0, N_CLASSES, N_SAMPLES)
+    gex = (rng.normal(size=(N_SAMPLES, GEX)) + 0.5 * cls[:, None]).astype(np.float32)
+    cnv = (rng.normal(size=(N_SAMPLES, CNV)) + 0.3 * cls[:, None]).astype(np.float32)
+    return gex, cnv, cls.astype(np.float32)
+
+
+def bench_torch_cpu(gex, cnv, cls, epochs=EPOCHS):
+    """One sequential reference-equivalent trial on torch CPU; returns secs."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(max(torch.get_num_threads(), 4))
+
+    def mlp(i, h, o):
+        return nn.Sequential(
+            nn.Linear(i, h), nn.BatchNorm1d(h), nn.ReLU(), nn.Dropout(0.1),
+            nn.Linear(h, o),
+        )
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.e1 = mlp(GEX, int(GEX * HIDDEN_FACTOR), LATENT)
+            self.e2 = mlp(CNV, int(CNV * HIDDEN_FACTOR), LATENT)
+            self.fuse = nn.Linear(2 * LATENT, LATENT)
+            self.head = mlp(LATENT, SUP_HIDDEN, N_CLASSES)
+
+        def forward(self, a, b):
+            z = self.fuse(torch.cat([self.e1(a), self.e2(b)], dim=1))
+            return self.head(z)
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    ce = nn.CrossEntropyLoss()
+    ta = torch.tensor(gex)
+    tb = torch.tensor(cnv)
+    ty = torch.tensor(cls).long()
+    n_batches = N_SAMPLES // BATCH
+
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        perm = torch.randperm(N_SAMPLES)[: n_batches * BATCH].reshape(n_batches, BATCH)
+        for idx in perm:
+            opt.zero_grad()
+            loss = ce(net(ta[idx], tb[idx]), ty[idx])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(net.parameters(), 1.0)
+            opt.step()
+    return time.perf_counter() - t0
+
+
+def bench_tpu(gex, cnv, cls, epochs=EPOCHS, k=K_TRIALS):
+    """K concurrent vmapped trials; returns (wall seconds, secs per epoch)."""
+    from flexynesis_tpu.data.dataset import MultiOmicDataset
+    from flexynesis_tpu.models.direct_pred import DirectPred
+    from flexynesis_tpu.parallel.trials import ParallelTrials
+
+    ds = MultiOmicDataset(
+        dat={"gex": gex, "cnv": cnv},
+        ann={"subtype": cls},
+        variable_types={"subtype": "categorical"},
+        features={
+            "gex": [f"g{i}" for i in range(GEX)],
+            "cnv": [f"c{i}" for i in range(CNV)],
+        },
+        samples=[f"S{i}" for i in range(N_SAMPLES)],
+        label_mappings={"subtype": {i: f"grp{i}" for i in range(N_CLASSES)}},
+    )
+    cfg = {
+        "latent_dim": LATENT,
+        "hidden_dim_factor": HIDDEN_FACTOR,
+        "lr": 1e-3,
+        "supervisor_hidden_dim": SUP_HIDDEN,
+        "epochs": epochs,
+        "batch_size": BATCH,
+    }
+    model = DirectPred(cfg, ds, target_variables=["subtype"])
+    tr = np.arange(int(N_SAMPLES * 0.8))
+    va = np.arange(int(N_SAMPLES * 0.8), N_SAMPLES)
+    pt = ParallelTrials(model, ds)
+    lrs = np.full(k, 1e-3)
+    seeds = np.arange(k)
+
+    # warm-up: compile (excluded from timing, like the reference's CUDA init)
+    pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
+           batch_size=BATCH, max_epochs=1)
+
+    t0 = time.perf_counter()
+    out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
+                 batch_size=BATCH, max_epochs=epochs)
+    wall = time.perf_counter() - t0
+    assert np.all(np.isfinite(out["best_val_loss"]))
+    return wall
+
+
+def main():
+    gex, cnv, cls = _synth()
+
+    torch_trial_s = bench_torch_cpu(gex, cnv, cls)
+    torch_trials_per_hour = 3600.0 / torch_trial_s
+
+    tpu_wall = bench_tpu(gex, cnv, cls)
+    tpu_trials_per_hour = K_TRIALS * 3600.0 / tpu_wall
+
+    # training throughput (samples/sec through the train step, per trial-sweep)
+    n_train = int(N_SAMPLES * 0.8)
+    samples_per_sec = K_TRIALS * EPOCHS * (n_train // BATCH) * BATCH / tpu_wall
+    torch_samples_per_sec = EPOCHS * (N_SAMPLES // BATCH) * BATCH / torch_trial_s
+
+    result = {
+        "metric": "HPO trials/hour (DirectPred, BRCA-scale 2-omic, 8 vmapped trials)",
+        "value": round(tpu_trials_per_hour, 1),
+        "unit": "trials/hour",
+        "vs_baseline": round(tpu_trials_per_hour / torch_trials_per_hour, 2),
+        "extra": {
+            "torch_cpu_trials_per_hour": round(torch_trials_per_hour, 1),
+            "tpu_train_samples_per_sec": round(samples_per_sec, 0),
+            "torch_cpu_train_samples_per_sec": round(torch_samples_per_sec, 0),
+            "epochs_per_trial": EPOCHS,
+            "n_samples": N_SAMPLES,
+            "features": {"gex": GEX, "cnv": CNV},
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Parallel HPO-trial execution: vmap over trials, sharded across a mesh.
+
+The reference runs HPO trials strictly sequentially (main.py:352-398). This
+module trains K same-architecture trials SIMULTANEOUSLY:
+
+* per-trial parameters are initialized from different seeds and stacked,
+* learning rates differ per trial (Adam is applied as scale_by_adam followed
+  by a per-trial -lr scaling, which vmaps cleanly),
+* each trial consumes its own shuffled batch stream from the shared
+  device-resident dataset (vmap broadcasts the data, gathers differ),
+* the stacked trial axis is sharded over the ``trial`` axis of a Mesh, so a
+  v5e-8 slice trains 8+ trials concurrently; on one chip, vmap still wins by
+  batching K tiny GEMMs into one MXU-efficient batched GEMM.
+
+This is the ≥20x HPO wall-clock lever called out in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _init_stacked(model, seeds):
+    """Stack fresh per-seed parameter pytrees along a leading trial axis."""
+    saved = (model.params, model.batch_stats)
+    params_list, stats_list = [], []
+    for s in seeds:
+        p, bs = model.init_params(None, int(s))
+        params_list.append(p)
+        stats_list.append(bs)
+    model.params, model.batch_stats = saved
+    params = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    stats = jax.tree.map(lambda *xs: jnp.stack(xs), *stats_list)
+    return params, stats
+
+
+class ParallelTrials:
+    """Train K same-shape trials of one model template concurrently."""
+
+    def __init__(self, model, dataset, mesh=None):
+        self.model = model
+        self.dataset = dataset
+        self.mesh = mesh
+        self._train_epoch = None
+        self._tx = None
+
+    def _build(self):
+        loss_fn = self.model.loss_fn
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        )
+
+        def train_step(carry, batch_idx, data):
+            params, opt_state, batch_stats, rng, lr = carry
+            rng, step_rng = jax.random.split(rng)
+            batch = {
+                k: (v if k.startswith("_") else jax.tree.map(lambda a: a[batch_idx], v))
+                for k, v in data.items()
+            }
+
+            def wrapped(p):
+                return loss_fn(p, batch_stats, batch, step_rng, True)
+
+            (_, (_, new_stats)), grads = jax.value_and_grad(
+                wrapped, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, new_stats, rng, lr), None
+
+        def epoch_body(params, opt_state, batch_stats, rng, lr, perm, data, val):
+            (params, opt_state, batch_stats, rng, lr), _ = jax.lax.scan(
+                lambda c, i: train_step(c, i, data),
+                (params, opt_state, batch_stats, rng, lr),
+                perm,
+            )
+            _, (losses, _) = loss_fn(params, batch_stats, val, None, False)
+            vloss = sum(losses.values())
+            return params, opt_state, batch_stats, rng, vloss
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def train_epoch_vmapped(
+            params, opt_state, batch_stats, rngs, lrs, perms, data, val
+        ):
+            return jax.vmap(
+                epoch_body, in_axes=(0, 0, 0, 0, 0, 0, None, None)
+            )(params, opt_state, batch_stats, rngs, lrs, perms, data, val)
+
+        self._tx = tx
+        self._train_epoch = train_epoch_vmapped
+
+    def run(
+        self,
+        lrs: np.ndarray,
+        seeds: np.ndarray,
+        *,
+        train_idx: np.ndarray,
+        val_idx: np.ndarray,
+        batch_size: int,
+        max_epochs: int,
+        early_stop_patience: int = -1,
+    ) -> Dict[str, np.ndarray]:
+        """Train len(lrs) trials; returns per-trial best val losses + epochs.
+
+        All trials share one train/val split, matching the sequential HPO
+        objective (main.py:267-280) which evaluates each trial on the same
+        split.
+        """
+        if self._train_epoch is None:
+            self._build()
+        K = len(lrs)
+        model, dataset = self.model, self.dataset
+
+        train_data = model.make_batch(dataset, train_idx)
+        val_data = model.make_batch(dataset, val_idx)
+        n = len(train_idx)
+        batch_size = min(batch_size, n)
+        n_batches = max(n // batch_size, 1)
+
+        params, batch_stats = _init_stacked(model, seeds)
+        opt_state = jax.vmap(self._tx.init)(params)
+        rngs = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
+        lrs_dev = jnp.asarray(lrs, jnp.float32)
+
+        if self.mesh is not None:
+            from .mesh import shard_leading_axis, trial_sharding
+
+            sh = trial_sharding(self.mesh)
+            params = shard_leading_axis(params, sh)
+            opt_state = shard_leading_axis(opt_state, sh)
+            batch_stats = shard_leading_axis(batch_stats, sh)
+
+        host_rng = np.random.default_rng(int(seeds[0]))
+        best = np.full(K, np.inf)
+        best_epoch = np.zeros(K, dtype=int)
+        stall = np.zeros(K, dtype=int)
+        epochs_run = 0
+        for epoch in range(max_epochs):
+            perms = np.stack(
+                [
+                    host_rng.permutation(n)[: n_batches * batch_size].reshape(
+                        n_batches, batch_size
+                    )
+                    for _ in range(K)
+                ]
+            )
+            params, opt_state, batch_stats, rngs, vloss = self._train_epoch(
+                params, opt_state, batch_stats, rngs,
+                lrs_dev, jnp.asarray(perms), train_data, val_data,
+            )
+            epochs_run = epoch + 1
+            v = np.asarray(vloss)
+            improved = v < best
+            best = np.where(improved, v, best)
+            best_epoch = np.where(improved, epoch + 1, best_epoch)
+            stall = np.where(improved, 0, stall + 1)
+            if early_stop_patience > 0 and np.all(stall >= early_stop_patience):
+                break
+
+        return {
+            "best_val_loss": best,
+            "best_epoch": np.maximum(best_epoch, 1),
+            "epochs_run": epochs_run,
+            "final_params": params,
+            "final_batch_stats": batch_stats,
+        }
