@@ -158,20 +158,30 @@ class MultiOmicDatasetNW:
     gene, plus a COO edge_index restricted to the common node set.
     """
 
-    def __init__(self, dataset: MultiOmicDataset, interaction_df):
+    def __init__(
+        self,
+        dataset: MultiOmicDataset,
+        interaction_df,
+        node_names: Optional[List[str]] = None,
+    ):
         self.dataset = dataset
         self.multiomic_dataset = dataset
-        genes_graph = set(interaction_df["protein1"]) | set(
-            interaction_df["protein2"]
-        )
-        union_feats: List[str] = []
-        seen = set()
-        for layer in dataset.dat.keys():
-            for f in dataset.features[layer]:
-                if f not in seen:
-                    union_feats.append(f)
-                    seen.add(f)
-        self.node_names = [f for f in union_feats if f in genes_graph]
+        self.interaction_df = interaction_df
+        if node_names is not None:
+            # caller pins the node set (e.g. test split reusing train nodes)
+            self.node_names = list(node_names)
+        else:
+            genes_graph = set(interaction_df["protein1"]) | set(
+                interaction_df["protein2"]
+            )
+            union_feats: List[str] = []
+            seen = set()
+            for layer in dataset.dat.keys():
+                for f in dataset.features[layer]:
+                    if f not in seen:
+                        union_feats.append(f)
+                        seen.add(f)
+            self.node_names = [f for f in union_feats if f in genes_graph]
         if not self.node_names:
             raise ValueError(
                 "No overlap between omic features and the interaction network."

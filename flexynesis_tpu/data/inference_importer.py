@@ -1,0 +1,165 @@
+"""Inference-mode data importer: apply training artifacts to a test folder.
+
+Capability parity with /root/reference/flexynesis/data.py:691-942
+(DataImporterInference): loads test-only ``{modality}.csv`` (+ clin.csv),
+validates/reorders features against each stored scaler's
+``feature_names_in_``, applies the fitted scalers, intersects samples across
+modalities, rebuilds the covariate modality from clin.csv, re-encodes labels
+with the stored OrdinalEncoders (missing -> -1), and re-concatenates for
+early fusion using the training modality order.
+"""
+
+from __future__ import annotations
+
+import os
+from itertools import chain
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .covariates import create_covariate_matrix, get_variable_types
+from .dataset import MultiOmicDataset
+
+
+class DataImporterInference:
+    def __init__(self, test_data_path: str, artifacts_path, verbose: bool = True):
+        from ..inference import load_and_sniff_artifacts
+
+        self.test_data_path = test_data_path
+        self.verbose = verbose
+        self.artifacts = (
+            artifacts_path
+            if isinstance(artifacts_path, dict)
+            else load_and_sniff_artifacts(artifacts_path)
+        )
+        a = self.artifacts
+        self.feature_names = a.get("feature_lists", a.get("feature_names", {}))
+        self.scalers = a.get("transforms", a.get("scalers", {}))
+        self.label_encoders = a.get("label_encoders", {})
+        self.modalities = list(a.get("data_types", a.get("modalities", [])))
+        self.target_variables = a.get("target_variables", [])
+        if verbose:
+            print(f"[INFO] Loaded artifacts for modalities: {self.modalities}")
+
+    def import_data(self) -> MultiOmicDataset:
+        early_fusion = self.modalities == ["all"]
+        if early_fusion:
+            to_load = list(self.artifacts.get("original_modalities", []))
+            if not to_load:
+                raise ValueError(
+                    "Early fusion artifacts must record original_modalities."
+                )
+        else:
+            to_load = [m for m in self.modalities if m != "covariates"]
+
+        clin_path = os.path.join(self.test_data_path, "clin.csv")
+        labels_df = (
+            pd.read_csv(clin_path, index_col=0) if os.path.exists(clin_path) else None
+        )
+
+        mats = {}
+        samples: Optional[list] = None
+        for modality in to_load:
+            fp = os.path.join(self.test_data_path, f"{modality}.csv")
+            if not os.path.exists(fp):
+                raise FileNotFoundError(f"Required file not found: {fp}")
+            df = pd.read_csv(fp, index_col=0).T  # -> samples x features
+            scaler = self.scalers[modality]
+            expected = list(scaler.feature_names_in_)
+            missing = set(expected) - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"{modality}: test data is missing {len(missing)} features "
+                    "required by the trained model."
+                )
+            extra = set(df.columns) - set(expected)
+            if extra and self.verbose:
+                print(f"[INFO] {modality}: ignoring {len(extra)} extra features")
+            df = df[expected]
+            mats[modality] = pd.DataFrame(
+                scaler.transform(df), index=df.index, columns=df.columns
+            )
+            if samples is None:
+                samples = df.index.tolist()
+
+        if mats:
+            common = set.intersection(*[set(df.index) for df in mats.values()])
+            samples = [s for s in samples if s in common]
+            mats = {m: df.loc[samples] for m, df in mats.items()}
+
+        if "covariates" in self.modalities and labels_df is not None:
+            cov_vars = self.artifacts.get("covariate_vars", [])
+            if cov_vars:
+                if self.verbose:
+                    print(f"[INFO] Rebuilding covariate matrix for: {cov_vars}")
+                cov = create_covariate_matrix(
+                    cov_vars, get_variable_types(labels_df), labels_df
+                ).T  # -> samples x features
+                if samples is None:
+                    samples = cov.index.tolist()
+                mats["covariates"] = cov
+
+        ann, variable_types, label_mappings = {}, {}, {}
+        if labels_df is not None:
+            common_samples = [s for s in samples if s in set(labels_df.index)]
+            labels_df = labels_df.loc[common_samples]
+            mats = {m: df.loc[common_samples] for m, df in mats.items()}
+            samples = common_samples
+
+            for col in labels_df.columns:
+                enc = self.label_encoders.get(col)
+                if enc is not None:
+                    valid = ~labels_df[col].isna()
+                    encoded = np.full(len(labels_df), -1, dtype=np.float32)
+                    if valid.sum() > 0:
+                        encoded[valid.to_numpy()] = (
+                            enc.transform(
+                                labels_df.loc[valid, col].to_numpy().reshape(-1, 1)
+                            ).ravel()
+                        )
+                    ann[col] = encoded
+                    variable_types[col] = "categorical"
+                    label_mappings[col] = {
+                        int(i): c for i, c in enumerate(enc.categories_[0])
+                    }
+                    label_mappings[col][-1] = "Unknown"
+                else:
+                    ann[col] = labels_df[col].to_numpy(dtype=np.float32)
+                    variable_types[col] = "numerical"
+
+        if early_fusion:
+            features = {
+                m: list(self.scalers[m].feature_names_in_) for m in to_load
+            }
+        else:
+            features = {
+                m: list(self.feature_names[m])
+                for m in self.modalities
+                if m in self.feature_names
+            }
+
+        ordered = [m for m in (to_load if early_fusion else self.modalities) if m in mats]
+        dat = {
+            m: np.ascontiguousarray(mats[m].values, dtype=np.float32)
+            for m in ordered
+        }
+
+        dataset = MultiOmicDataset(
+            dat=dat,
+            ann=ann,
+            variable_types=variable_types,
+            features=features,
+            samples=list(samples or []),
+            label_mappings=label_mappings,
+        )
+
+        if early_fusion:
+            order = list(self.artifacts.get("original_modalities", ordered))
+            concat = np.concatenate([dat[m] for m in order], axis=1)
+            all_feats = list(chain(*[features[m] for m in order]))
+            expected_all = set(self.feature_names["all"])
+            keep = [i for i, f in enumerate(all_feats) if f in expected_all]
+            dataset.dat = {"all": concat[:, keep]}
+            dataset.features = {"all": [all_feats[i] for i in keep]}
+        return dataset

@@ -1,0 +1,127 @@
+"""Fine-tuning on held-out samples (transfer learning).
+
+Capability parity with /root/reference/flexynesis/main.py:459-659 (FineTuner):
+a grid over 3 learning rates {lr, lr/10, lr/100} x 3 freeze configurations
+(freeze encoders / freeze supervisor heads / freeze nothing) x 5-fold CV on
+the fine-tuning samples; the (lr, freeze) cell with the lowest average fold
+val-loss wins and the model is re-trained on ALL fine-tuning samples with
+that setting.
+
+Freezing is expressed functionally: an optax.masked Adam that zeroes updates
+for the frozen parameter subtrees (no deepcopy of modules — parameters are
+immutable pytrees, so every fold just restarts from the trained params).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .trainer import Trainer, kfold_indices
+
+FREEZE_CONFIGS: List[Dict[str, bool]] = [
+    {"encoders": True, "supervisors": False},
+    {"encoders": False, "supervisors": True},
+    {"encoders": False, "supervisors": False},
+]
+
+
+def _make_mask_fn(freeze: Dict[str, bool]):
+    """callable(params) -> bool pytree; True = trainable."""
+
+    def is_trainable(path_key: str) -> bool:
+        if freeze.get("encoders") and path_key.startswith("encoder"):
+            return False
+        if freeze.get("supervisors") and path_key.startswith("head_"):
+            return False
+        return True
+
+    def mask(params):
+        return {
+            top: jax.tree.map(lambda _: is_trainable(top), sub)
+            for top, sub in params.items()
+        }
+
+    return mask
+
+
+class FineTuner:
+    def __init__(
+        self,
+        model,
+        dataset,
+        n_splits: int = 5,
+        max_epochs: int = 50,
+        early_stop_patience: int = 3,
+        seed: int = 42,
+    ):
+        self.model = model
+        self.dataset = dataset
+        self.n_splits = n_splits
+        self.max_epochs = max_epochs
+        self.early_stop_patience = early_stop_patience
+        self.seed = seed
+        base_lr = float(model.config["lr"])
+        self.learning_rates = [base_lr, base_lr / 10, base_lr / 100]
+
+    def _fit_once(
+        self,
+        lr: float,
+        freeze: Dict[str, bool],
+        train_idx,
+        val_idx,
+    ) -> Tuple[float, object, object]:
+        model = self.model
+        params0 = jax.tree.map(jnp.copy, model.params)
+        stats0 = jax.tree.map(jnp.copy, model.batch_stats)
+        trainer = Trainer(
+            model.loss_fn, lr=lr, trainable_mask=_make_mask_fn(freeze)
+        )
+        res = trainer.fit(
+            params0,
+            stats0,
+            model.make_batch(self.dataset, train_idx),
+            model.make_batch(self.dataset, val_idx) if val_idx is not None else None,
+            n_samples=len(train_idx),
+            batch_size=min(32, len(train_idx)),
+            max_epochs=self.max_epochs,
+            early_stop_patience=self.early_stop_patience,
+            rng=jax.random.key(self.seed),
+        )
+        return res.val_loss, res.params, res.batch_stats
+
+    def run_experiments(self):
+        """Grid-search (lr x freeze) with k-fold CV, then final full fit."""
+        n = (
+            self.model.n_train_samples(self.dataset)
+            if hasattr(self.model, "n_train_samples")
+            else len(self.dataset)
+        )
+        k = min(self.n_splits, max(n // 2, 2))
+        folds = kfold_indices(n, k, seed=self.seed)
+
+        best: Optional[Tuple[float, float, Dict[str, bool]]] = None
+        for lr in self.learning_rates:
+            for freeze in FREEZE_CONFIGS:
+                losses = []
+                for tr, va in folds:
+                    loss, _, _ = self._fit_once(lr, freeze, tr, va)
+                    losses.append(loss)
+                avg = float(np.mean(losses))
+                print(
+                    f"[INFO] finetune lr={lr:.2g} freeze={freeze}: "
+                    f"avg val loss {avg:.4f}"
+                )
+                if best is None or avg < best[0]:
+                    best = (avg, lr, freeze)
+
+        _, lr, freeze = best
+        print(f"[INFO] Final fine-tuning with lr={lr:.2g}, freeze={freeze}")
+        all_idx = np.arange(n)
+        _, params, stats = self._fit_once(lr, freeze, all_idx, None)
+        self.model.params = params
+        self.model.batch_stats = stats
+        return self.model

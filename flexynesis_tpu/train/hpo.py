@@ -81,6 +81,17 @@ class HyperparameterTuning:
         self.batch_ask = max(int(batch_ask), 1)
         self.seed = seed
 
+        # the triplet model trains over anchors (samples with a non-missing
+        # first target label) — splits and batch space follow that count,
+        # like the reference's loader_dataset switch (main.py:159-162)
+        if model_class.__name__ == "MultiTripletNetwork":
+            import numpy as _np
+
+            labels = _np.asarray(dataset.ann[target_variables[0]], dtype=float)
+            self.n_units = int((_np.isfinite(labels) & (labels != -1)).sum())
+        else:
+            self.n_units = len(dataset)
+
         if config_path:
             external = load_and_convert_config(config_path)
             if self.config_name not in external:
@@ -94,7 +105,7 @@ class HyperparameterTuning:
 
     def get_batch_space(self, min_size: int = 32, max_size: int = 128) -> Categorical:
         """Power-of-two batch sizes capped by log2(0.8 * n) (main.py:183-190)."""
-        m = int(np.log2(len(self.dataset) * 0.8))
+        m = int(np.log2(self.n_units * 0.8))
         st = int(np.log2(min_size))
         end = min(int(np.log2(max_size)), m)
         sizes = [int(2**x) for x in range(st, end + 1)] or [min_size]
@@ -123,7 +134,7 @@ class HyperparameterTuning:
     def objective(self, params: dict, full_train: bool = False):
         """Train with ``params``; returns (avg_val_loss, avg_epochs, model),
         or just the trained model when full_train=True (main.py:228-332)."""
-        n = len(self.dataset)
+        n = self.n_units
         if full_train:
             model = self.model_class(**self._model_args(params))
             model.fit(

@@ -59,6 +59,8 @@ class Real(Dimension):
     prior: str = "uniform"
 
     def to_unit(self, value) -> float:
+        if self.high == self.low:
+            return 0.0
         if self.prior == "log-uniform":
             return (math.log(value) - math.log(self.low)) / (
                 math.log(self.high) - math.log(self.low)
@@ -66,6 +68,8 @@ class Real(Dimension):
         return (value - self.low) / (self.high - self.low)
 
     def from_unit(self, u: float) -> float:
+        if self.high == self.low:
+            return float(self.low)
         if self.prior == "log-uniform":
             return float(
                 math.exp(

@@ -60,11 +60,18 @@ class EarlyStopper:
         return self.count >= self.patience
 
 
-def make_optimizer(lr: float, grad_clip: float = 1.0) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
-    )
+def make_optimizer(
+    lr: float, grad_clip: float = 1.0, trainable_mask=None
+) -> optax.GradientTransformation:
+    """Adam + global-norm clipping; optionally freeze params via a mask.
+
+    ``trainable_mask``: callable(params) -> pytree of bool (True = train).
+    Used by the fine-tuner's freeze configurations (reference main.py:530-539).
+    """
+    adam = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if trainable_mask is not None:
+        adam = optax.masked(adam, trainable_mask)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
 
 
 class Trainer:
@@ -80,9 +87,10 @@ class Trainer:
         lr: float,
         grad_clip: float = 1.0,
         mesh: Optional[jax.sharding.Mesh] = None,
+        trainable_mask=None,
     ):
         self.loss_fn = loss_fn
-        self.optimizer = make_optimizer(lr, grad_clip)
+        self.optimizer = make_optimizer(lr, grad_clip, trainable_mask)
         self.mesh = mesh
         self._train_epoch = None
         self._val_step = None

@@ -1,0 +1,209 @@
+"""End-to-end CLI tests mirroring the reference CI matrix
+(models-template.yml:53-105): train with --hpo_iter 1, then reload the
+saved model in inference mode."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flexynesis_tpu.__main__ import main
+from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+
+@pytest.fixture(scope="module")
+def data_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli_data")
+    write_synthetic_folder(str(p), n_train=80, n_test=40, seed=21)
+    return str(p)
+
+
+def _run(data_path, outdir, extra):
+    args = [
+        "--data_path", data_path,
+        "--hpo_iter", "1",
+        "--epochs_override", "5",
+    ]
+    # no --epochs flag exists; shrink via config file instead
+    args = [
+        "--data_path", data_path,
+        "--hpo_iter", "1",
+        "--outdir", outdir,
+        "--prefix", "job",
+        "--features_top_percentile", "50",
+        "--features_min", "20",
+        "--early_stop_patience", "3",
+        "--config_path", os.path.join(outdir, "hpo.yaml"),
+    ] + extra
+    return main(args)
+
+
+def _write_small_space(outdir, model, gnn=False):
+    os.makedirs(outdir, exist_ok=True)
+    dims = [
+        {"type": "Integer", "low": 16, "high": 16, "name": "latent_dim"},
+        {"type": "Real", "low": 0.3, "high": 0.3, "name": "hidden_dim_factor"},
+        {"type": "Real", "low": 0.01, "high": 0.01, "name": "lr"},
+        {"type": "Integer", "low": 8, "high": 8, "name": "supervisor_hidden_dim"},
+        {"type": "Categorical", "categories": [10], "name": "epochs"},
+        {"type": "Categorical", "categories": [32], "name": "batch_size"},
+    ]
+    if gnn:
+        dims += [
+            {"type": "Integer", "low": 4, "high": 4, "name": "node_embedding_dim"},
+            {"type": "Integer", "low": 1, "high": 1, "name": "num_convs"},
+            {"type": "Categorical", "categories": ["relu"], "name": "activation"},
+        ]
+    import yaml
+
+    with open(os.path.join(outdir, "hpo.yaml"), "w") as fh:
+        yaml.safe_dump({model: dims}, fh)
+
+
+class TestCLITrainInfer:
+    def test_directpred_train_then_infer(self, data_path, tmp_path):
+        outdir = str(tmp_path / "out")
+        _write_small_space(outdir, "DirectPred")
+        rc = _run(data_path, outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex,cnv",
+            "--target_variables", "subtype",
+            "--safetensors",
+        ])
+        assert rc == 0
+        for f in (
+            "job.stats.csv", "job.predicted_labels.csv",
+            "job.embeddings_train.csv", "job.embeddings_test.csv",
+            "job.final_model.safetensors", "job.final_model_config.json",
+            "job.artifacts.json",
+            "job.feature_importance.IntegratedGradients.csv",
+            "job.feature_logs.gex.csv",
+        ):
+            assert os.path.exists(os.path.join(outdir, f)), f
+
+        cfg = json.load(open(os.path.join(outdir, "job.final_model_config.json")))
+        assert cfg["model_class"] == "DirectPred"
+
+        # inference reload on the test split
+        rc = main([
+            "--pretrained_model", os.path.join(outdir, "job.final_model.safetensors"),
+            "--artifacts", os.path.join(outdir, "job.artifacts.json"),
+            "--data_path_test", os.path.join(data_path, "test"),
+            "--outdir", str(tmp_path / "inf"),
+            "--prefix", "inf",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+        stats = pd.read_csv(str(tmp_path / "inf" / "inf.stats.csv"))
+        assert (stats["var"] == "subtype").any()
+
+    def test_survival_training(self, data_path, tmp_path):
+        outdir = str(tmp_path / "surv")
+        _write_small_space(outdir, "DirectPred")
+        rc = _run(data_path, outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex",
+            "--surv_event_var", "OS_STATUS",
+            "--surv_time_var", "OS_MONTHS",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+        stats = pd.read_csv(os.path.join(outdir, "job.stats.csv"))
+        assert (stats["metric"] == "cindex").any()
+
+    def test_early_fusion_and_covariates(self, data_path, tmp_path):
+        outdir = str(tmp_path / "fusion")
+        _write_small_space(outdir, "DirectPred")
+        rc = _run(data_path, outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex,cnv",
+            "--target_variables", "subtype",
+            "--fusion_type", "early",
+            "--covariates", "age",
+            "--disable_marker_finding",
+            "--safetensors",
+        ])
+        assert rc == 0
+        # early fusion + covariates -> layers ['all', 'covariates']
+        cfg = json.load(open(os.path.join(outdir, "job.final_model_config.json")))
+        assert "all" in cfg["layers"]
+
+    def test_crossmodal(self, data_path, tmp_path):
+        outdir = str(tmp_path / "xm")
+        _write_small_space(outdir, "CrossModalPred")
+        rc = _run(data_path, outdir, [
+            "--model_class", "CrossModalPred",
+            "--data_types", "gex,cnv",
+            "--target_variables", "subtype",
+            "--input_layers", "gex",
+            "--output_layers", "cnv",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+        assert os.path.exists(os.path.join(outdir, "job.cnv_decoded.csv"))
+
+    def test_triplet(self, data_path, tmp_path):
+        outdir = str(tmp_path / "trip")
+        _write_small_space(outdir, "MultiTripletNetwork")
+        rc = _run(data_path, outdir, [
+            "--model_class", "MultiTripletNetwork",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+
+    def test_gnn_with_user_graph(self, data_path, tmp_path):
+        outdir = str(tmp_path / "gnn")
+        _write_small_space(outdir, "GNN", gnn=True)
+        # build a user graph over the synthetic feature names
+        rng = np.random.default_rng(0)
+        genes = [f"gex_f{i}" for i in range(200)]
+        graph = pd.DataFrame({
+            "GeneA": rng.choice(genes, 400),
+            "GeneB": rng.choice(genes, 400),
+            "Score": rng.random(400),
+        })
+        gpath = str(tmp_path / "graph.csv")
+        graph.to_csv(gpath, index=False)
+        rc = _run(data_path, outdir, [
+            "--model_class", "GNN",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--gnn_conv_type", "GC",
+            "--user_graph", gpath,
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+
+    def test_classical_model_class(self, data_path, tmp_path):
+        outdir = str(tmp_path / "rf")
+        os.makedirs(outdir, exist_ok=True)
+        rc = main([
+            "--data_path", data_path,
+            "--model_class", "RandomForest",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--outdir", outdir,
+            "--prefix", "job",
+            "--features_top_percentile", "50",
+            "--features_min", "20",
+            "--threads", "2",
+        ])
+        assert rc == 0
+        stats = pd.read_csv(os.path.join(outdir, "job.stats.csv"))
+        assert (stats["method"] == "RandomForestClassifier").any()
+
+    def test_finetuning(self, data_path, tmp_path):
+        outdir = str(tmp_path / "ft")
+        _write_small_space(outdir, "DirectPred")
+        rc = _run(data_path, outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--finetuning_samples", "20",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
