@@ -1,0 +1,152 @@
+"""Survival toolkit tests: KM, log-rank, CoxPH (vs closed-form / torch-free
+golden values), C-index, stratification."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flexynesis_tpu.utils.metrics import concordance_index
+from flexynesis_tpu.utils.survival import (
+    CoxPH,
+    KaplanMeier,
+    build_cox_model,
+    cumulative_dynamic_auc,
+    find_optimal_cutoff,
+    logrank_test,
+    multivariate_logrank_test,
+    recursive_binary_split_minN,
+    split_by_median,
+)
+
+
+class TestKaplanMeier:
+    def test_no_censoring_matches_empirical(self):
+        t = np.array([1.0, 2.0, 3.0, 4.0])
+        km = KaplanMeier().fit(t, np.ones(4))
+        np.testing.assert_allclose(km.survival, [0.75, 0.5, 0.25, 0.0])
+
+    def test_censoring(self):
+        # classic textbook example
+        t = np.array([6, 6, 6, 7, 10], dtype=float)
+        e = np.array([1, 0, 1, 1, 0], dtype=float)
+        km = KaplanMeier().fit(t, e)
+        # at t=6: 2 events of 5 at risk -> 0.6; at t=7: 1 of 2 -> 0.3
+        np.testing.assert_allclose(km.survival, [0.6, 0.3])
+
+    def test_survival_at(self):
+        km = KaplanMeier().fit(np.array([2.0, 4.0]), np.array([1.0, 1.0]))
+        np.testing.assert_allclose(km.survival_at([1.0, 3.0, 5.0]), [1.0, 0.5, 0.0])
+
+
+class TestLogRank:
+    def test_identical_groups_nonsignificant(self, rng):
+        t = rng.exponential(10, 100)
+        e = rng.integers(0, 2, 100).astype(float)
+        res = logrank_test(t[:50], t[50:], e[:50], e[50:])
+        assert res.p_value > 0.01
+
+    def test_separated_groups_significant(self, rng):
+        t1 = rng.exponential(2, 80)
+        t2 = rng.exponential(20, 80)
+        e = np.ones(80)
+        res = logrank_test(t1, t2, e, e)
+        assert res.p_value < 1e-6
+
+    def test_multivariate_three_groups(self, rng):
+        t = np.concatenate([
+            rng.exponential(2, 50), rng.exponential(8, 50), rng.exponential(30, 50)
+        ])
+        g = np.repeat(["a", "b", "c"], 50)
+        res = multivariate_logrank_test(t, g, np.ones(150))
+        assert res.p_value < 1e-6
+
+
+class TestCoxPH:
+    def test_recovers_signal_direction(self, rng):
+        n = 300
+        x = rng.normal(size=n)
+        # higher x -> higher hazard -> shorter time
+        t = rng.exponential(np.exp(-x))
+        e = np.ones(n)
+        df = pd.DataFrame({"x": x, "time": t, "event": e})
+        m = CoxPH(penalizer=0.0).fit(df, "time", "event")
+        # true beta = 1
+        assert 0.7 < m.params_["x"] < 1.3
+        assert m.summary.loc["x", "p"] < 1e-6
+
+    def test_null_covariate_not_significant(self, rng):
+        n = 200
+        df = pd.DataFrame({
+            "noise": rng.normal(size=n),
+            "time": rng.exponential(5, n),
+            "event": rng.integers(0, 2, n).astype(float),
+        })
+        m = CoxPH().fit(df, "time", "event")
+        assert m.summary.loc["noise", "p"] > 0.01
+
+    def test_partial_hazard_ranks(self, rng):
+        n = 150
+        x = rng.normal(size=n)
+        t = rng.exponential(np.exp(-x))
+        df = pd.DataFrame({"x": x, "time": t, "event": np.ones(n)})
+        m = CoxPH().fit(df, "time", "event")
+        risk = m.predict_partial_hazard(df).values
+        ci = concordance_index(t, -risk, np.ones(n))
+        assert ci > 0.6
+
+    def test_build_cox_model_cv(self, rng):
+        n = 200
+        x1 = rng.normal(size=n)
+        x2 = rng.normal(size=n)
+        t = rng.exponential(np.exp(-x1))
+        df = pd.DataFrame({
+            "x1": x1, "x2": x2, "time": t, "event": np.ones(n),
+        })
+        model, metrics = build_cox_model(
+            df, "time", "event", eval_time=float(np.median(t))
+        )
+        assert metrics["cv_cindex_mean"] > 0.6
+        assert metrics["cv_auc_mean"] is None or 0.4 < metrics["cv_auc_mean"] <= 1.0
+
+
+class TestStratification:
+    def test_split_by_median(self):
+        v = np.array([1.0, 2.0, 3.0, 4.0])
+        np.testing.assert_array_equal(split_by_median(v), [0, 0, 1, 1])
+
+    def test_find_optimal_cutoff_separates(self, rng):
+        n = 200
+        expr = rng.normal(size=n)
+        t = np.where(expr > 0, rng.exponential(2, n), rng.exponential(20, n))
+        cutoff, p = find_optimal_cutoff(pd.Series(expr), t, np.ones(n))
+        assert cutoff is not None and abs(cutoff) < 1.0
+        assert p < 1e-4
+
+    def test_recursive_split_groups(self, rng):
+        n = 200
+        risk = rng.normal(size=n)
+        t = rng.exponential(np.exp(-2 * risk))
+        df = pd.DataFrame({
+            "pred_risk": risk, "OS.time": t, "OS": np.ones(n),
+        })
+        out = recursive_binary_split_minN(
+            df, score="pred_risk", time="OS.time", event="OS",
+            min_samples_per_group=30,
+        )
+        groups = out["auto_group"].unique()
+        assert len(groups) >= 2
+        # groups ordered by increasing risk
+        means = out.groupby("auto_group")["pred_risk"].mean().sort_index()
+        assert means.is_monotonic_increasing
+
+
+class TestTimeDependentAUC:
+    def test_informative_risk_gives_high_auc(self, rng):
+        n = 300
+        x = rng.normal(size=n)
+        t = rng.exponential(np.exp(-2 * x))
+        aucs, mean_auc = cumulative_dynamic_auc(
+            t[:150], np.ones(150), t[150:], np.ones(150),
+            x[150:], [float(np.median(t))],
+        )
+        assert mean_auc > 0.75
