@@ -43,11 +43,14 @@ def _init_stacked(model, seeds):
 class ParallelTrials:
     """Train K same-shape trials of one model template concurrently."""
 
-    def __init__(self, model, dataset, mesh=None):
+    def __init__(self, model, dataset, mesh=None, matmul_precision="bfloat16"):
+        # bf16 matmul passes are the TPU analog of the reference's
+        # torch.set_float32_matmul_precision("medium") (main.py:24)
         self.model = model
         self.dataset = dataset
         self.mesh = mesh
-        self._train_epoch = None
+        self.matmul_precision = matmul_precision
+        self._train_chunk = None
         self._tx = None
 
     def _build(self):
@@ -76,26 +79,52 @@ class ParallelTrials:
             params = optax.apply_updates(params, updates)
             return (params, opt_state, new_stats, rng, lr), None
 
-        def epoch_body(params, opt_state, batch_stats, rng, lr, perm, data, val):
-            (params, opt_state, batch_stats, rng, lr), _ = jax.lax.scan(
-                lambda c, i: train_step(c, i, data),
-                (params, opt_state, batch_stats, rng, lr),
-                perm,
-            )
-            _, (losses, _) = loss_fn(params, batch_stats, val, None, False)
-            vloss = sum(losses.values())
-            return params, opt_state, batch_stats, rng, vloss
+        def chunk_body(params, opt_state, batch_stats, rng, lr, data, val,
+                       n_samples, n_batches, batch_size, n_epochs):
+            """n_epochs epochs fully on device: per-epoch permutations come
+            from the carried PRNG key (no host round-trips inside a chunk)."""
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-        def train_epoch_vmapped(
-            params, opt_state, batch_stats, rngs, lrs, perms, data, val
+            def one_epoch(carry, _):
+                params, opt_state, batch_stats, rng, lr = carry
+                rng, perm_rng = jax.random.split(rng)
+                perm = jax.random.permutation(perm_rng, n_samples)[
+                    : n_batches * batch_size
+                ].reshape(n_batches, batch_size)
+                (params, opt_state, batch_stats, rng, lr), _ = jax.lax.scan(
+                    lambda c, i: train_step(c, i, data),
+                    (params, opt_state, batch_stats, rng, lr),
+                    perm,
+                )
+                _, (losses, _) = loss_fn(params, batch_stats, val, None, False)
+                vloss = sum(losses.values())
+                return (params, opt_state, batch_stats, rng, lr), vloss
+
+            (params, opt_state, batch_stats, rng, lr), vlosses = jax.lax.scan(
+                one_epoch,
+                (params, opt_state, batch_stats, rng, lr),
+                None,
+                length=n_epochs,
+            )
+            return params, opt_state, batch_stats, rng, vlosses
+
+        @partial(
+            jax.jit,
+            donate_argnums=(0, 1, 2, 3),
+            static_argnames=("n_samples", "n_batches", "batch_size", "n_epochs"),
+        )
+        def train_chunk_vmapped(
+            params, opt_state, batch_stats, rngs, lrs, data, val,
+            n_samples, n_batches, batch_size, n_epochs,
         ):
             return jax.vmap(
-                epoch_body, in_axes=(0, 0, 0, 0, 0, 0, None, None)
-            )(params, opt_state, batch_stats, rngs, lrs, perms, data, val)
+                lambda p, o, bs, r, lr: chunk_body(
+                    p, o, bs, r, lr, data, val,
+                    n_samples, n_batches, batch_size, n_epochs,
+                ),
+            )(params, opt_state, batch_stats, rngs, lrs)
 
         self._tx = tx
-        self._train_epoch = train_epoch_vmapped
+        self._train_chunk = train_chunk_vmapped
 
     def run(
         self,
@@ -107,14 +136,17 @@ class ParallelTrials:
         batch_size: int,
         max_epochs: int,
         early_stop_patience: int = -1,
+        epochs_per_eval: int = 5,
     ) -> Dict[str, np.ndarray]:
         """Train len(lrs) trials; returns per-trial best val losses + epochs.
 
         All trials share one train/val split, matching the sequential HPO
         objective (main.py:267-280) which evaluates each trial on the same
-        split.
+        split. ``epochs_per_eval`` epochs run fully on device per host sync;
+        early stopping is checked at every epoch boundary from the returned
+        per-epoch val losses.
         """
-        if self._train_epoch is None:
+        if self._train_chunk is None:
             self._build()
         K = len(lrs)
         model, dataset = self.model, self.dataset
@@ -138,31 +170,35 @@ class ParallelTrials:
             opt_state = shard_leading_axis(opt_state, sh)
             batch_stats = shard_leading_axis(batch_stats, sh)
 
-        host_rng = np.random.default_rng(int(seeds[0]))
         best = np.full(K, np.inf)
         best_epoch = np.zeros(K, dtype=int)
         stall = np.zeros(K, dtype=int)
         epochs_run = 0
-        for epoch in range(max_epochs):
-            perms = np.stack(
-                [
-                    host_rng.permutation(n)[: n_batches * batch_size].reshape(
-                        n_batches, batch_size
-                    )
-                    for _ in range(K)
-                ]
-            )
-            params, opt_state, batch_stats, rngs, vloss = self._train_epoch(
-                params, opt_state, batch_stats, rngs,
-                lrs_dev, jnp.asarray(perms), train_data, val_data,
-            )
-            epochs_run = epoch + 1
-            v = np.asarray(vloss)
-            improved = v < best
-            best = np.where(improved, v, best)
-            best_epoch = np.where(improved, epoch + 1, best_epoch)
-            stall = np.where(improved, 0, stall + 1)
-            if early_stop_patience > 0 and np.all(stall >= early_stop_patience):
+        chunk = max(int(epochs_per_eval), 1)
+        while epochs_run < max_epochs:
+            n_epochs = min(chunk, max_epochs - epochs_run)
+            with jax.default_matmul_precision(self.matmul_precision):
+                params, opt_state, batch_stats, rngs, vlosses = self._train_chunk(
+                    params, opt_state, batch_stats, rngs, lrs_dev,
+                    train_data, val_data,
+                    n_samples=n, n_batches=n_batches, batch_size=batch_size,
+                    n_epochs=n_epochs,
+                )
+            v_chunk = np.asarray(vlosses)  # (K, n_epochs)
+            stop = False
+            for ei in range(n_epochs):
+                epochs_run += 1
+                v = v_chunk[:, ei]
+                improved = v < best
+                best = np.where(improved, v, best)
+                best_epoch = np.where(improved, epochs_run, best_epoch)
+                stall = np.where(improved, 0, stall + 1)
+                if early_stop_patience > 0 and np.all(
+                    stall >= early_stop_patience
+                ):
+                    stop = True
+                    break
+            if stop:
                 break
 
         return {
