@@ -1,0 +1,119 @@
+"""Pallas kernel correctness vs pure-JAX references (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexynesis_tpu.ops.pallas.fused_linear import (
+    fused_linear_bn_relu,
+    fused_linear_bn_relu_eval,
+)
+from flexynesis_tpu.ops.pallas.mmd_kernel import (
+    compute_mmd_pallas,
+    gaussian_kernel_mean,
+)
+
+
+def reference_block(x, w, b, gamma, beta, eps=1e-5):
+    h = x @ w + b
+    mu = h.mean(axis=0)
+    var = h.var(axis=0)
+    hn = (h - mu) / np.sqrt(var + eps)
+    y = np.maximum(hn * gamma + beta, 0.0)
+    return y, h, mu, var
+
+
+class TestFusedLinearBNRelu:
+    @pytest.mark.parametrize("B,F,H", [(32, 100, 64), (16, 257, 130)])
+    def test_forward_matches_reference(self, rng, B, F, H):
+        x = rng.normal(size=(B, F)).astype(np.float32)
+        w = (rng.normal(size=(F, H)) * 0.1).astype(np.float32)
+        b = rng.normal(size=H).astype(np.float32)
+        gamma = rng.normal(size=H).astype(np.float32) * 0.5 + 1.0
+        beta = rng.normal(size=H).astype(np.float32) * 0.1
+        y, mu, var = fused_linear_bn_relu(
+            jnp.array(x), jnp.array(w), jnp.array(b),
+            jnp.array(gamma), jnp.array(beta), 0, 1e-5, 0.0,
+        )
+        y_ref, _, mu_ref, var_ref = reference_block(x, w, b, gamma, beta)
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(var), var_ref, rtol=1e-3, atol=1e-4)
+
+    def test_gradients_match_autodiff_reference(self, rng):
+        B, F, H = 16, 40, 24
+        x = jnp.array(rng.normal(size=(B, F)).astype(np.float32))
+        w = jnp.array((rng.normal(size=(F, H)) * 0.1).astype(np.float32))
+        b = jnp.array(rng.normal(size=H).astype(np.float32))
+        gamma = jnp.array(np.ones(H, np.float32))
+        beta = jnp.array(np.zeros(H, np.float32))
+
+        def loss_fused(params):
+            y, _, _ = fused_linear_bn_relu(*params, 0, 1e-5, 0.0)
+            return jnp.sum(jnp.square(y))
+
+        def loss_ref(params):
+            x, w, b, gamma, beta = params
+            h = x @ w + b
+            mu = jnp.mean(h, axis=0)
+            var = jnp.var(h, axis=0)
+            hn = (h - mu) / jnp.sqrt(var + 1e-5)
+            y = jnp.maximum(hn * gamma + beta, 0.0)
+            return jnp.sum(jnp.square(y))
+
+        g1 = jax.grad(loss_fused)((x, w, b, gamma, beta))
+        g2 = jax.grad(loss_ref)((x, w, b, gamma, beta))
+        for a, r in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=5e-3, atol=5e-4
+            )
+
+    def test_dropout_statistics(self, rng):
+        B, F, H = 64, 32, 128
+        x = jnp.array(rng.normal(size=(B, F)).astype(np.float32))
+        w = jnp.array((rng.normal(size=(F, H)) * 0.1).astype(np.float32))
+        b = jnp.array(np.zeros(F, np.float32)[:H] if H <= F else np.zeros(H, np.float32))
+        b = jnp.zeros(H, jnp.float32)
+        gamma = jnp.ones(H, jnp.float32)
+        beta = jnp.ones(H, jnp.float32)  # shift up so most units active
+        y, _, _ = fused_linear_bn_relu(x, w, b, gamma, beta, 7, 1e-5, 0.5)
+        zero_frac = float(jnp.mean(y == 0))
+        assert 0.35 < zero_frac < 0.75  # ~50% dropped (plus relu zeros)
+
+    def test_eval_mode_uses_running_stats(self, rng):
+        B, F, H = 8, 20, 16
+        x = rng.normal(size=(B, F)).astype(np.float32)
+        w = (rng.normal(size=(F, H)) * 0.1).astype(np.float32)
+        b = np.zeros(H, np.float32)
+        gamma = np.ones(H, np.float32)
+        beta = np.zeros(H, np.float32)
+        rm = rng.normal(size=H).astype(np.float32) * 0.1
+        rv = np.abs(rng.normal(size=H)).astype(np.float32) + 0.5
+        y = fused_linear_bn_relu_eval(
+            jnp.array(x), jnp.array(w), jnp.array(b), jnp.array(gamma),
+            jnp.array(beta), jnp.array(rm), jnp.array(rv),
+        )
+        h = x @ w + b
+        y_ref = np.maximum((h - rm) / np.sqrt(rv + 1e-5), 0.0)
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+
+
+class TestMMDKernel:
+    def test_kernel_mean_matches_dense(self, rng):
+        x = rng.normal(size=(20, 16)).astype(np.float32)
+        y = rng.normal(size=(33, 16)).astype(np.float32)
+        ours = float(gaussian_kernel_mean(jnp.array(x), jnp.array(y)))
+        d = x.shape[1]
+        diff = ((x[:, None, :] - y[None, :, :]) ** 2).mean(-1) / d
+        ref = float(np.exp(-diff).mean())
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    def test_mmd_matches_losses_module(self, rng):
+        from flexynesis_tpu.ops.losses import compute_mmd
+
+        x = rng.normal(size=(50, 8)).astype(np.float32)
+        y = rng.normal(size=(64, 8)).astype(np.float32)
+        a = float(compute_mmd_pallas(jnp.array(x), jnp.array(y)))
+        b = float(compute_mmd(jnp.array(x), jnp.array(y)))
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
