@@ -30,10 +30,15 @@ class DirectPredNet(nn.Module):
     supervisor_hidden_dim: int
     output_dims: Dict[str, int]
     use_loss_weighting: bool = True
+    fused_kernels: bool = False  # Pallas fused MLP blocks (ops/fused_mlp.py)
 
     def setup(self):
+        if self.fused_kernels:
+            from ..ops.fused_mlp import FusedMLP as MLPBlock
+        else:
+            MLPBlock = MLP
         self.encoders = [
-            MLP(
+            MLPBlock(
                 hidden_dim=int(d * self.hidden_dim_factor),
                 output_dim=self.latent_dim,
                 name=f"encoder_{ln}",
@@ -49,7 +54,7 @@ class DirectPredNet(nn.Module):
                 name="fusion_block",
             )
         self.heads = {
-            var: MLP(
+            var: MLPBlock(
                 hidden_dim=self.supervisor_hidden_dim,
                 output_dim=n_out,
                 name=f"head_{var}",
@@ -92,4 +97,5 @@ class DirectPred(BaseModel):
             supervisor_hidden_dim=int(self.config["supervisor_hidden_dim"]),
             output_dims=dict(self.output_dims),
             use_loss_weighting=self.use_loss_weighting,
+            fused_kernels=bool(self.config.get("fused_kernels", False)),
         )

@@ -98,6 +98,7 @@ def _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate):
     b2 = b.reshape(1, Hp)
     gamma2 = gamma.reshape(1, Hp)
     beta2 = beta.reshape(1, Hp)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
     kernel = functools.partial(
         _fused_fwd_kernel,
         eps=eps,
@@ -129,21 +130,22 @@ def _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate):
             jax.ShapeDtypeStruct((1, Hp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x, w, b2, gamma2, beta2, jnp.asarray([seed], jnp.int32))
+    )(x, w, b2, gamma2, beta2, seed)
     y = y[:B, :H]
     if host_dropout:
         keep = jax.random.bernoulli(
-            jax.random.key(seed), 1.0 - dropout_rate, y.shape
+            jax.random.key(seed[0]), 1.0 - dropout_rate, y.shape
         ).astype(y.dtype)
         y = y * keep * (1.0 / (1.0 - dropout_rate))
     return y, h[:B, :H], mu[0, :H], var[0, :H]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_linear_bn_relu(x, w, b, gamma, beta, seed=0, eps=1e-5,
                          dropout_rate=0.0):
     """relu(batchnorm(x @ w + b)) (+ inverted dropout), fused on TPU.
 
+    ``seed`` may be a traced int32 scalar (it flows into the kernel as data).
     Returns (y, batch_mean, batch_var) — the caller folds mean/var into its
     running statistics (torch momentum-0.1 convention handled by the module).
     """
@@ -156,7 +158,7 @@ def _fwd(x, w, b, gamma, beta, seed, eps, dropout_rate):
     return (y, mu, var), (x, w, gamma, beta, h, mu, var, y)
 
 
-def _bwd(seed, eps, dropout_rate, res, grads):
+def _bwd(eps, dropout_rate, res, grads):
     x, w, gamma, beta, h, mu, var, y = res
     gy, _, _ = grads
     B = x.shape[0]
@@ -183,7 +185,10 @@ def _bwd(seed, eps, dropout_rate, res, grads):
     dx = jnp.dot(dh, w.T, preferred_element_type=jnp.float32)
     dw = jnp.dot(x.T, dh, preferred_element_type=jnp.float32)
     db = jnp.sum(dh, axis=0)
-    return dx, dw, db, dgamma, dbeta
+    import numpy as _np
+
+    dseed = _np.zeros((), jax.dtypes.float0)  # integer seed: symbolic zero
+    return dx, dw, db, dgamma, dbeta, dseed
 
 
 fused_linear_bn_relu.defvjp(_fwd, _bwd)

@@ -117,3 +117,31 @@ class TestMMDKernel:
         a = float(compute_mmd_pallas(jnp.array(x), jnp.array(y)))
         b = float(compute_mmd(jnp.array(x), jnp.array(y)))
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+
+class TestFusedMLPModel:
+    def test_directpred_with_fused_kernels_trains(self, rng):
+        """DirectPred(config fused_kernels=True) learns on synthetic data."""
+        import jax
+
+        from flexynesis_tpu.data.importer import DataImporter
+        from flexynesis_tpu.models.direct_pred import DirectPred
+        from flexynesis_tpu.train.trainer import train_val_split
+        from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as p:
+            write_synthetic_folder(p, n_train=80, n_test=40, seed=31)
+            imp = DataImporter(p, ["gex"], top_percentile=50, min_features=20)
+            train_ds, test_ds = imp.import_data()
+        cfg = {
+            "latent_dim": 16, "hidden_dim_factor": 0.3, "lr": 0.01,
+            "supervisor_hidden_dim": 8, "epochs": 15, "batch_size": 32,
+            "fused_kernels": True,
+        }
+        model = DirectPred(cfg, train_ds, target_variables=["subtype"])
+        tr, va = train_val_split(len(train_ds), 0.2)
+        res = model.fit(train_ds, tr, va, lr=0.01, batch_size=32, max_epochs=15)
+        assert res.val_loss < res.history["val_loss"][0]
+        preds = model.predict(test_ds)
+        assert np.isfinite(preds["subtype"]).all()
