@@ -93,11 +93,18 @@ class DataImporter:
                 )
 
     def read_data(self, folder_path: str) -> Dict[str, pd.DataFrame]:
+        from .fastcsv import read_matrix_csv
+
         data = {}
         for name in ["clin"] + self.data_types:
             fp = os.path.join(folder_path, f"{name}.csv")
             print(f"[INFO] Importing {fp}...")
-            data[name] = pd.read_csv(fp, index_col=0)
+            if name == "clin":
+                # mixed-type clinical table needs pandas dtype inference
+                data[name] = pd.read_csv(fp, index_col=0)
+            else:
+                # numeric matrices go through the native parallel parser
+                data[name] = read_matrix_csv(fp)
         return data
 
     def subsample(self, dat: Dict[str, pd.DataFrame], n: int):

@@ -1,0 +1,212 @@
+// fastcsv: multi-threaded numeric CSV matrix parser.
+//
+// The reference ingests omics matrices through pandas.read_csv
+// (data.py:286-314), which is single-threaded and type-inferring — for a
+// 20k-feature x 2k-sample matrix that is the dominant startup cost. This
+// native loader mmaps the file, splits it into per-thread line ranges, and
+// parses straight into one contiguous float32 buffer (the exact layout the
+// device transfer wants).
+//
+// Layout expectations (flexynesis CSV convention):
+//   header:  ,S1,S2,...   (first cell empty or an index name)
+//   rows:    feature_id,1.0,2.5,...
+// Missing values ("", "NA", "NaN", "nan", "null") parse to NaN.
+//
+// C ABI (consumed via ctypes from flexynesis_tpu/data/fastcsv.py):
+//   FcsvMatrix* fastcsv_read(const char* path, int n_threads)
+//   void        fastcsv_free(FcsvMatrix*)
+
+#include <atomic>
+#include <charconv>
+#include <cerrno>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+struct FcsvMatrix {
+  float* data;          // n_rows * n_cols, row-major
+  int64_t n_rows;
+  int64_t n_cols;
+  char* row_names;      // '\0'-separated, n_rows entries
+  int64_t row_names_len;
+  char* col_names;      // '\0'-separated, n_cols entries
+  int64_t col_names_len;
+  char* error;          // non-null on failure
+};
+
+}  // extern "C"
+
+namespace {
+
+inline const char* parse_float(const char* p, const char* end, float* out) {
+  // skip leading spaces
+  while (p < end && *p == ' ') ++p;
+  const char* field_start = p;
+  // find end of field
+  const char* q = p;
+  while (q < end && *q != ',' && *q != '\n' && *q != '\r') ++q;
+  size_t len = static_cast<size_t>(q - field_start);
+  if (len == 0) {
+    *out = NAN;
+    return q;
+  }
+  if ((len == 2 && strncasecmp(field_start, "NA", 2) == 0) ||
+      (len == 3 && strncasecmp(field_start, "NaN", 3) == 0) ||
+      (len == 4 && strncasecmp(field_start, "null", 4) == 0)) {
+    *out = NAN;
+    return q;
+  }
+  float v;
+  auto res = std::from_chars(field_start, q, v);
+  *out = (res.ec == std::errc() ? v : NAN);
+  return q;
+}
+
+struct LineIndex {
+  std::vector<const char*> starts;  // start of each data line (after header)
+};
+
+}  // namespace
+
+extern "C" FcsvMatrix* fastcsv_read(const char* path, int n_threads) {
+  auto* m = new FcsvMatrix();
+  memset(m, 0, sizeof(FcsvMatrix));
+
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) {
+    m->error = strdup("fastcsv: cannot open file");
+    return m;
+  }
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    close(fd);
+    m->error = strdup("fastcsv: empty or unreadable file");
+    return m;
+  }
+  size_t size = static_cast<size_t>(st.st_size);
+  const char* buf =
+      static_cast<const char*>(mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+  close(fd);
+  if (buf == MAP_FAILED) {
+    m->error = strdup("fastcsv: mmap failed");
+    return m;
+  }
+  const char* end = buf + size;
+
+  // ---- header: column (sample) names -----------------------------------
+  const char* p = buf;
+  const char* header_end = static_cast<const char*>(memchr(p, '\n', size));
+  if (!header_end) {
+    munmap(const_cast<char*>(buf), size);
+    m->error = strdup("fastcsv: no newline in file");
+    return m;
+  }
+  std::string col_blob;
+  int64_t n_cols = 0;
+  {
+    const char* q = p;
+    // skip the first (index) cell
+    while (q < header_end && *q != ',') ++q;
+    while (q < header_end) {
+      ++q;  // skip comma
+      const char* s = q;
+      while (q < header_end && *q != ',' && *q != '\r') ++q;
+      col_blob.append(s, static_cast<size_t>(q - s));
+      col_blob.push_back('\0');
+      ++n_cols;
+      while (q < header_end && *q == '\r') ++q;
+    }
+  }
+
+  // ---- index data lines --------------------------------------------------
+  LineIndex idx;
+  for (const char* q = header_end + 1; q < end;) {
+    idx.starts.push_back(q);
+    const char* nl = static_cast<const char*>(
+        memchr(q, '\n', static_cast<size_t>(end - q)));
+    if (!nl) break;
+    q = nl + 1;
+  }
+  // drop a trailing empty line
+  while (!idx.starts.empty()) {
+    const char* s = idx.starts.back();
+    if (s >= end || *s == '\n' || *s == '\r') idx.starts.pop_back();
+    else break;
+  }
+  int64_t n_rows = static_cast<int64_t>(idx.starts.size());
+
+  float* data = static_cast<float*>(
+      malloc(sizeof(float) * static_cast<size_t>(n_rows * n_cols)));
+  std::vector<std::string> row_names(static_cast<size_t>(n_rows));
+  std::atomic<bool> failed{false};
+
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int T = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
+  if (T > n_rows) T = n_rows > 0 ? static_cast<int>(n_rows) : 1;
+
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi && !failed.load(std::memory_order_relaxed); ++r) {
+      const char* q = idx.starts[static_cast<size_t>(r)];
+      const char* name_start = q;
+      while (q < end && *q != ',' && *q != '\n') ++q;
+      row_names[static_cast<size_t>(r)].assign(
+          name_start, static_cast<size_t>(q - name_start));
+      float* row = data + r * n_cols;
+      int64_t c = 0;
+      while (q < end && *q == ',' && c < n_cols) {
+        ++q;
+        q = parse_float(q, end, &row[c]);
+        ++c;
+      }
+      for (; c < n_cols; ++c) row[c] = NAN;  // short row -> NaN-filled
+    }
+  };
+
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_rows + T - 1) / T;
+  for (int t = 0; t < T; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min<int64_t>(lo + chunk, n_rows);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+  munmap(const_cast<char*>(buf), size);
+
+  std::string row_blob;
+  for (auto& s : row_names) {
+    row_blob.append(s);
+    row_blob.push_back('\0');
+  }
+
+  m->data = data;
+  m->n_rows = n_rows;
+  m->n_cols = n_cols;
+  m->row_names = static_cast<char*>(malloc(row_blob.size()));
+  memcpy(m->row_names, row_blob.data(), row_blob.size());
+  m->row_names_len = static_cast<int64_t>(row_blob.size());
+  m->col_names = static_cast<char*>(malloc(col_blob.size()));
+  memcpy(m->col_names, col_blob.data(), col_blob.size());
+  m->col_names_len = static_cast<int64_t>(col_blob.size());
+  return m;
+}
+
+extern "C" void fastcsv_free(FcsvMatrix* m) {
+  if (!m) return;
+  free(m->data);
+  free(m->row_names);
+  free(m->col_names);
+  free(m->error);
+  delete m;
+}

@@ -133,3 +133,35 @@ class TestDataImporter:
         )
         train, _ = imp.import_data()
         assert len(train) == 30
+
+
+class TestFastCSV:
+    def test_matches_pandas(self, rng, tmp_path):
+        from flexynesis_tpu.data.fastcsv import read_matrix_csv
+
+        df = pd.DataFrame(
+            rng.normal(size=(200, 40)).astype(np.float32),
+            index=[f"g{i}" for i in range(200)],
+            columns=[f"S{j}" for j in range(40)],
+        )
+        df.iloc[3, 5] = np.nan
+        p = tmp_path / "m.csv"
+        df.to_csv(p)
+        a = read_matrix_csv(str(p))
+        b = pd.read_csv(p, index_col=0)
+        np.testing.assert_allclose(
+            a.values, b.values.astype(np.float32), atol=1e-5, equal_nan=True
+        )
+        assert list(a.index) == list(b.index)
+        assert list(a.columns) == list(b.columns)
+
+    def test_na_strings(self, tmp_path):
+        from flexynesis_tpu.data.fastcsv import read_matrix_csv
+
+        p = tmp_path / "na.csv"
+        p.write_text(",S1,S2\ng1,1.5,NA\ng2,,nan\n")
+        a = read_matrix_csv(str(p))
+        assert a.loc["g1", "S1"] == 1.5
+        assert np.isnan(a.loc["g1", "S2"])
+        assert np.isnan(a.loc["g2", "S1"])
+        assert np.isnan(a.loc["g2", "S2"])
