@@ -127,6 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="clin.csv column used to join sample IDs")
     p.add_argument("--hpo_checkpoint", type=str, default=None,
                    help="Path for preemption-safe HPO state checkpointing")
+    p.add_argument("--profile", action="store_true",
+                   help="Per-phase wall/memory profiling + JAX device trace "
+                        "written under <outdir>/<prefix>.profile/")
     return p
 
 
@@ -397,10 +400,18 @@ def run_training(args) -> int:
 
     from .models import MODEL_REGISTRY
     from .train.hpo import HyperparameterTuning
+    from .utils.profiling import PhaseTimer, trace
 
     t0 = time.time()
-    data_importer = _build_importer(args)
-    train_dataset, test_dataset = data_importer.import_data()
+    timer = PhaseTimer(enabled=args.profile)
+    trace_dir = (
+        os.path.join(args.outdir, f"{args.prefix}.profile")
+        if args.profile
+        else None
+    )
+    with timer.phase("data_import"):
+        data_importer = _build_importer(args)
+        train_dataset, test_dataset = data_importer.import_data()
 
     # feature logs (reference __main__.py:1270-1280)
     logs = data_importer.feature_logs
@@ -424,6 +435,7 @@ def run_training(args) -> int:
             node_names=train_dataset.node_names,
         )
 
+    tuner_timer_cm = timer.phase("hpo_training")
     tuner = HyperparameterTuning(
         dataset=train_dataset,
         model_class=MODEL_REGISTRY[args.model_class],
@@ -443,18 +455,26 @@ def run_training(args) -> int:
         checkpoint_path=args.hpo_checkpoint,
         batch_ask=args.hpo_batch,
     )
-    model, best_params = tuner.perform_tuning(hpo_patience=args.hpo_patience)
+    with tuner_timer_cm, trace(trace_dir):
+        model, best_params = tuner.perform_tuning(hpo_patience=args.hpo_patience)
     print(f"[INFO] Best hyperparameters: {best_params}")
 
     if args.finetuning_samples > 0:
-        _finetune(args, model, test_dataset)
+        with timer.phase("finetuning"):
+            _finetune(args, model, test_dataset)
 
-    _write_eval_outputs(args, model, train_dataset, test_dataset)
+    with timer.phase("evaluation_outputs"):
+        _write_eval_outputs(args, model, train_dataset, test_dataset)
 
     if args.evaluate_baseline_performance:
         _run_baseline_comparison(args, train_dataset, test_dataset)
 
     _save_model_files(args, model, data_importer)
+    timer.report(
+        os.path.join(args.outdir, f"{args.prefix}.profile.json")
+        if args.profile
+        else None
+    )
     print(f"[INFO] Total wall time: {time.time() - t0:.1f}s")
     return 0
 

@@ -206,6 +206,8 @@ class BaseModel:
         early_stop_patience: int = -1,
         seed: int = 42,
         mesh=None,
+        checkpoint_dir=None,
+        on_epoch_end=None,
     ):
         """Train this model on (a subset of) a dataset; stores best params."""
         from ..train.trainer import Trainer
@@ -226,6 +228,8 @@ class BaseModel:
             max_epochs=max_epochs,
             early_stop_patience=early_stop_patience,
             rng=jax.random.key(seed),
+            checkpoint_dir=checkpoint_dir,
+            on_epoch_end=on_epoch_end,
         )
         self.params, self.batch_stats = res.params, res.batch_stats
         return res

@@ -156,6 +156,12 @@ class HyperparameterTuning:
         model = None
         for train_idx, val_idx in splits:
             model = self.model_class(**self._model_args(params))
+            on_epoch_end = None
+            if self.plot_losses:
+                from .live_plot import LiveLossPlot
+
+                plot = LiveLossPlot(hyperparams=params)
+                on_epoch_end = plot.update
             res = model.fit(
                 self.dataset,
                 train_idx,
@@ -165,6 +171,7 @@ class HyperparameterTuning:
                 max_epochs=int(params["epochs"]),
                 early_stop_patience=self.early_stop_patience,
                 seed=self.seed,
+                on_epoch_end=on_epoch_end,
             )
             losses.append(res.val_loss)
             epochs.append(res.epochs_run)

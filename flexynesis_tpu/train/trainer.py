@@ -154,6 +154,9 @@ class Trainer:
         early_stop_patience: int = -1,
         rng: Optional[jax.Array] = None,
         log_every: int = 0,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 10,
+        on_epoch_end=None,
     ) -> TrainResult:
         """Train; returns best-by-val-loss parameters when val_data is given.
 
@@ -173,9 +176,39 @@ class Trainer:
         best = (params, batch_stats)
         history = {"train_loss": [], "val_loss": []}
 
+        ckpt = None
+        start_epoch = 0
+        if checkpoint_dir:
+            from .checkpoint import TrainCheckpointer
+
+            ckpt = TrainCheckpointer(checkpoint_dir, checkpoint_every)
+            template = {
+                "params": params,
+                "opt_state": opt_state,
+                "batch_stats": batch_stats,
+                "rng": jax.random.key_data(rng),
+                "meta": {
+                    "epoch": np.asarray(0),
+                    "best_val": np.asarray(0.0, np.float64),
+                },
+            }
+            restored = ckpt.restore(template)
+            if restored is not None:
+                params = restored["params"]
+                opt_state = restored["opt_state"]
+                batch_stats = restored["batch_stats"]
+                rng = restored["rng"]
+                start_epoch = restored["meta"]["epoch"]
+                best_val = restored["meta"]["best_val"]
+                best = jax.tree.map(jnp.copy, (params, batch_stats))
+                print(
+                    f"[INFO] Resumed training from epoch {start_epoch} "
+                    f"(best val {best_val:.4f})"
+                )
+
         t0 = time.perf_counter()
-        epochs_run = 0
-        for epoch in range(max_epochs):
+        epochs_run = start_epoch
+        for epoch in range(start_epoch, max_epochs):
             rng, perm_rng = jax.random.split(rng)
             perm = jax.random.permutation(perm_rng, n_samples)[
                 : n_batches * batch_size
@@ -198,13 +231,26 @@ class Trainer:
                         f"[epoch {epoch}] train_loss={float(train_loss):.4f} "
                         f"val_loss={val_loss:.4f}"
                     )
+                if on_epoch_end is not None:
+                    on_epoch_end(epoch, float(train_loss), val_loss)
+                if ckpt is not None:
+                    ckpt.maybe_save(
+                        epoch + 1, params, opt_state, batch_stats, rng, best_val
+                    )
                 if stopper.update(val_loss):
                     break
             else:
                 history["train_loss"].append(float(train_loss))
+                if ckpt is not None:
+                    ckpt.maybe_save(
+                        epoch + 1, params, opt_state, batch_stats, rng,
+                        float(train_loss),
+                    )
                 if log_every and (epoch % log_every == 0):
                     print(f"[epoch {epoch}] train_loss={float(train_loss):.4f}")
 
+        if ckpt is not None:
+            ckpt.close()
         if val_data is None:
             best = (params, batch_stats)
             best_val = float(history["train_loss"][-1]) if history["train_loss"] else 0.0
