@@ -189,6 +189,25 @@ def run_inference(args) -> int:
     importer = DataImporterInference(args.data_path_test, artifacts)
     test_dataset = importer.import_data()
 
+    if model.model_name == "GNN":
+        # rebuild the node tensor over the training node set using the
+        # interaction graph embedded in the saved weights
+        import pandas as pd
+
+        from .data.dataset import MultiOmicDatasetNW
+
+        node_names = list(model.nw_dataset.node_names)
+        src, dst = np.asarray(model.nw_dataset.edge_index)
+        edges_df = pd.DataFrame(
+            {
+                "protein1": [node_names[i] for i in src],
+                "protein2": [node_names[i] for i in dst],
+            }
+        )
+        test_dataset = MultiOmicDatasetNW(
+            test_dataset, edges_df, node_names=node_names
+        )
+
     _write_eval_outputs(args, model, None, test_dataset)
 
     if args.finetuning_samples > 0:

@@ -71,7 +71,11 @@ def _unflatten_pytree(flat: Dict[str, np.ndarray]):
 
 
 def save_model(model, path: str) -> str:
-    """Save params + batch_stats as safetensors with namespaced keys."""
+    """Save params + batch_stats as safetensors with namespaced keys.
+
+    GNN models additionally embed their interaction graph (edge_index) so
+    inference can rebuild the node tensor without re-downloading the network.
+    """
     from safetensors.numpy import save_file
 
     flat = {}
@@ -84,6 +88,10 @@ def save_model(model, path: str) -> str:
             for k, v in _flatten_pytree(model.batch_stats).items()
         }
     )
+    if hasattr(model, "nw_dataset"):
+        flat["graph/edge_index"] = np.asarray(
+            model.nw_dataset.edge_index, dtype=np.int32
+        )
     save_file(flat, path)
     return path
 
@@ -126,6 +134,9 @@ def save_model_config(model, path: str) -> str:
     ):
         if hasattr(model, attr):
             config[attr] = getattr(model, attr)
+    if hasattr(model, "nw_dataset"):
+        config["node_names"] = list(model.nw_dataset.node_names)
+        config["n_node_feats"] = int(model.nw_dataset.node_features.shape[2])
     config["num_layers"] = len(model.layers)
     config["variable_types"] = {
         v: model.variable_types[v] for v in model.variables
@@ -419,10 +430,23 @@ def reconstruct_model(weights_path: str, config_path: str, artifacts) -> object:
         kwargs["input_layers"] = config.get("input_layers")
         kwargs["output_layers"] = config.get("output_layers")
     if cls_name == "GNN":
-        raise NotImplementedError(
-            "GNN reconstruction requires the interaction graph; rebuild via "
-            "the CLI inference path which reconstructs MultiOmicDatasetNW."
-        )
+        from safetensors.numpy import load_file
+
+        flat = load_file(weights_path)
+        if "graph/edge_index" not in flat:
+            raise ValueError(
+                "GNN weights are missing the embedded interaction graph."
+            )
+        node_names = config["node_names"]
+        n_mods = int(config.get("n_node_feats", 1))
+        ds.node_names = node_names
+        ds.node_features = np.zeros((1, len(node_names), n_mods), np.float32)
+        ds.edge_index = np.asarray(flat["graph/edge_index"], np.int32)
+        ds.dat = {"all": np.zeros((1, len(node_names) * n_mods), np.float32)}
+        ds.features = {
+            "all": [f"{g}:{m}" for g in node_names for m in range(n_mods)]
+        }
+        kwargs["gnn_conv_type"] = config.get("gnn_conv_type", "GC")
     model = model_cls(**kwargs)
     params, batch_stats = load_weights(weights_path)
     model.params = params

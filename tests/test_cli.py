@@ -175,8 +175,21 @@ class TestCLITrainInfer:
             "--gnn_conv_type", "GC",
             "--user_graph", gpath,
             "--disable_marker_finding",
+            "--safetensors",
         ])
         assert rc == 0
+        # inference reload: graph travels inside the saved weights
+        rc = main([
+            "--pretrained_model", os.path.join(outdir, "job.final_model.safetensors"),
+            "--artifacts", os.path.join(outdir, "job.artifacts.json"),
+            "--data_path_test", os.path.join(data_path, "test"),
+            "--outdir", os.path.join(outdir, "inf"),
+            "--prefix", "inf",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+        stats = pd.read_csv(os.path.join(outdir, "inf", "inf.stats.csv"))
+        assert (stats["var"] == "subtype").any()
 
     def test_classical_model_class(self, data_path, tmp_path):
         outdir = str(tmp_path / "rf")
