@@ -39,7 +39,7 @@ SUP_HIDDEN = 16
 BATCH = 64
 EPOCHS = 10
 N_CLASSES = 4
-K_TRIALS = 8
+K_TRIALS = 16
 
 
 def _synth():
@@ -155,7 +155,7 @@ def main():
     torch_samples_per_sec = EPOCHS * (N_SAMPLES // BATCH) * BATCH / torch_trial_s
 
     result = {
-        "metric": "HPO trials/hour (DirectPred, BRCA-scale 2-omic, 8 vmapped trials)",
+        "metric": "HPO trials/hour (DirectPred, BRCA-scale 2-omic, 16 vmapped trials)",
         "value": round(tpu_trials_per_hour, 1),
         "unit": "trials/hour",
         "vs_baseline": round(tpu_trials_per_hour / torch_trials_per_hour, 2),
