@@ -11,12 +11,13 @@ instead of paying a fresh 20-40s TPU compile each iteration.
 
 from __future__ import annotations
 
-from .train.space import Categorical, Integer, Real, SearchSpace
-
 epochs = [500]
 
 
 def _common_dims():
+    # imported lazily: config <-> train would otherwise import-cycle
+    from .train.space import Categorical, Integer, Real
+
     return [
         Integer(16, 128, name="latent_dim", quantize=16),
         Real(0.2, 0.5, name="hidden_dim_factor"),
@@ -26,8 +27,10 @@ def _common_dims():
     ]
 
 
-def get_search_space(config_name: str) -> SearchSpace:
+def get_search_space(config_name: str):
     """Fresh SearchSpace for a model class (mutable; batch_size appended by HPO)."""
+    from .train.space import Categorical, Integer, Real, SearchSpace
+
     if config_name in ("DirectPred", "supervised_vae", "CrossModalPred",
                        "MultiTripletNetwork"):
         return SearchSpace(_common_dims())

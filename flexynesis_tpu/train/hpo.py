@@ -208,6 +208,50 @@ class HyperparameterTuning:
                 return state
         return None
 
+    def _bucket_by_architecture(self, suggestions):
+        """Group suggestions that produce identical program shapes.
+
+        Everything except ``lr`` (a vmapped scalar) must match for trials to
+        stack under vmap: architecture dims, epochs, batch size.
+        """
+        buckets: dict = {}
+        for params in suggestions:
+            key = tuple(
+                (k, params[k]) for k in sorted(params) if k != "lr"
+            )
+            buckets.setdefault(key, []).append(params)
+        return list(buckets.values())
+
+    def _run_parallel_group(self, group):
+        """Train a same-architecture suggestion group via vmapped trials."""
+        from ..parallel.trials import ParallelTrials
+
+        n = self.n_units
+        train_idx, val_idx = train_val_split(n, self.val_size, seed=self.seed)
+        template = self.model_class(**self._model_args(group[0]))
+        pt = ParallelTrials(template, self.dataset)
+        lrs = np.asarray([p["lr"] for p in group], np.float32)
+        seeds = np.full(len(group), self.seed, np.int64)
+        print(
+            f"[INFO] Training {len(group)} same-architecture trials "
+            "concurrently (vmapped)"
+        )
+        out = pt.run(
+            lrs=lrs,
+            seeds=seeds,
+            train_idx=train_idx,
+            val_idx=val_idx,
+            batch_size=int(group[0]["batch_size"]),
+            max_epochs=int(group[0]["epochs"]),
+            early_stop_patience=self.early_stop_patience,
+        )
+        # models are not retained per-trial; the best config retrains at the
+        # end of perform_tuning (full_train path)
+        return [
+            (float(out["best_val_loss"][k]), int(out["best_epoch"][k]), None)
+            for k in range(len(group))
+        ]
+
     def perform_tuning(self, hpo_patience: int = 0):
         opt = BayesianOptimizer(self.space, n_initial_points=10, seed=self.seed)
         best_loss = np.inf
@@ -230,26 +274,37 @@ class HyperparameterTuning:
         while i < self.n_iter:
             q = min(self.batch_ask, self.n_iter - i)
             suggestions = opt.ask(q)
-            for params in suggestions:
+            # same-architecture suggestions train CONCURRENTLY (vmapped over
+            # the trial axis, parallel/trials.py); lr varies freely per trial
+            for group in self._bucket_by_architecture(suggestions):
                 t0 = time.perf_counter()
-                loss, avg_epochs, model = self.objective(params)
-                opt.tell(params, loss)
-                i += 1
-                if loss < best_loss:
-                    best_loss = loss
-                    best_params = dict(params)
-                    best_epochs = avg_epochs
-                    self._best_epochs = avg_epochs
-                    best_model = model
-                    no_improvement = 0
+                if len(group) > 1 and not self.use_cv:
+                    results = self._run_parallel_group(group)
                 else:
-                    no_improvement += 1
-                print(
-                    f"[INFO] HPO iter {i}/{self.n_iter}: loss={loss:.4f} "
-                    f"best={best_loss:.4f} ({time.perf_counter() - t0:.1f}s) "
-                    f"params={params}"
-                )
-                self._save_checkpoint(opt, best_params, float(best_loss), i)
+                    results = None
+                for gi, params in enumerate(group):
+                    if results is not None:
+                        loss, avg_epochs, model = results[gi]
+                    else:
+                        loss, avg_epochs, model = self.objective(params)
+                    opt.tell(params, loss)
+                    i += 1
+                    if loss < best_loss:
+                        best_loss = loss
+                        best_params = dict(params)
+                        best_epochs = avg_epochs
+                        self._best_epochs = avg_epochs
+                        best_model = model
+                        no_improvement = 0
+                    else:
+                        no_improvement += 1
+                    print(
+                        f"[INFO] HPO iter {i}/{self.n_iter}: loss={loss:.4f} "
+                        f"best={best_loss:.4f} "
+                        f"({time.perf_counter() - t0:.1f}s cum. for group) "
+                        f"params={params}"
+                    )
+                    self._save_checkpoint(opt, best_params, float(best_loss), i)
             if hpo_patience > 0 and no_improvement >= hpo_patience:
                 print(
                     f"[INFO] No improvement for {hpo_patience} HPO iterations — "

@@ -129,3 +129,54 @@ class TestHPOE2E:
         )
         cats = [d for d in tuner.space.dimensions if d.name == "batch_size"][0]
         assert cats.categories == [32, 64]  # log2(0.8*100) = 6 -> max 64
+
+
+class TestParallelHPO:
+    def test_batch_ask_parallel_groups(self, tmp_path):
+        from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+        p = tmp_path / "pdata"
+        write_synthetic_folder(str(p), n_train=80, n_test=40, seed=9)
+        imp = DataImporter(str(p), ["gex"], top_percentile=50, min_features=20)
+        train_ds, _ = imp.import_data()
+
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=4, batch_ask=4,
+            early_stop_patience=3,
+        )
+        # degenerate space: identical architecture, only lr varies ->
+        # all 4 suggestions land in ONE vmapped group
+        for d in tuner.space.dimensions:
+            if d.name == "epochs":
+                d.categories = [8]
+            if d.name == "latent_dim":
+                d.low = d.high = 16
+            if d.name == "supervisor_hidden_dim":
+                d.low = d.high = 8
+            if d.name == "hidden_dim_factor":
+                d.low = d.high = 0.3
+            if d.name == "batch_size":
+                d.categories = [32]
+        model, best = tuner.perform_tuning()
+        assert model is not None and model.params is not None
+        assert np.isfinite(best["lr"])
+
+    def test_bucketing_logic(self, tmp_path):
+        from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+        p = tmp_path / "bdata"
+        write_synthetic_folder(str(p), n_train=60, n_test=30, seed=10)
+        imp = DataImporter(str(p), ["gex"], top_percentile=50, min_features=10)
+        train_ds, _ = imp.import_data()
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=1,
+        )
+        a = {"latent_dim": 16, "lr": 1e-3, "hidden_dim_factor": 0.3,
+             "supervisor_hidden_dim": 8, "epochs": 10, "batch_size": 32}
+        b = dict(a, lr=5e-3)
+        c = dict(a, latent_dim=32)
+        groups = tuner._bucket_by_architecture([a, b, c])
+        sizes = sorted(len(g) for g in groups)
+        assert sizes == [1, 2]
