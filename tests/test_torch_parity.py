@@ -1,0 +1,151 @@
+"""Numerical parity with the PyTorch reference architecture.
+
+The reference implementation itself cannot run here (torch_geometric /
+lightning / captum are not installed), so parity is demonstrated at the
+math level: the DirectPred forward is rebuilt in raw torch with the SAME
+trained weights copied from the Flax model — outputs must match to f32
+tolerance (BASELINE.md: 'bitwise-comparable predictions ... practically a
+tight f32 tolerance')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from flexynesis_tpu.data.dataset import MultiOmicDataset
+from flexynesis_tpu.models.direct_pred import DirectPred
+
+
+def make_ds(rng, n=32, gex=50, cnv=30, k=3):
+    cls = rng.integers(0, k, n).astype(np.float32)
+    return MultiOmicDataset(
+        dat={
+            "gex": rng.normal(size=(n, gex)).astype(np.float32),
+            "cnv": rng.normal(size=(n, cnv)).astype(np.float32),
+        },
+        ann={"subtype": cls},
+        variable_types={"subtype": "categorical"},
+        features={
+            "gex": [f"g{i}" for i in range(gex)],
+            "cnv": [f"c{i}" for i in range(cnv)],
+        },
+        samples=[f"S{i}" for i in range(n)],
+        label_mappings={"subtype": {i: f"grp{i}" for i in range(k)}},
+    )
+
+
+class TorchMLP(nn.Module):
+    """Reference modules.py:106-150 math in raw torch."""
+
+    def __init__(self, input_dim, hidden_dim, output_dim):
+        super().__init__()
+        hidden_dim = max(hidden_dim, 2)
+        self.layer_1 = nn.Linear(input_dim, hidden_dim)
+        self.layer_out = (
+            nn.Linear(hidden_dim, output_dim)
+            if output_dim > 1
+            else nn.Linear(hidden_dim, 1, bias=False)
+        )
+        self.batchnorm = nn.BatchNorm1d(hidden_dim)
+
+    def forward(self, x):
+        x = torch.relu(self.batchnorm(self.layer_1(x)))
+        return self.layer_out(x)  # dropout inactive in eval
+
+
+def copy_mlp(torch_mlp, flax_params, flax_stats):
+    with torch.no_grad():
+        torch_mlp.layer_1.weight.copy_(
+            torch.tensor(np.asarray(flax_params["layer_1"]["kernel"]).T)
+        )
+        torch_mlp.layer_1.bias.copy_(
+            torch.tensor(np.asarray(flax_params["layer_1"]["bias"]))
+        )
+        torch_mlp.batchnorm.weight.copy_(
+            torch.tensor(np.asarray(flax_params["batchnorm"]["scale"]))
+        )
+        torch_mlp.batchnorm.bias.copy_(
+            torch.tensor(np.asarray(flax_params["batchnorm"]["bias"]))
+        )
+        torch_mlp.batchnorm.running_mean.copy_(
+            torch.tensor(np.asarray(flax_stats["batchnorm"]["mean"]))
+        )
+        torch_mlp.batchnorm.running_var.copy_(
+            torch.tensor(np.asarray(flax_stats["batchnorm"]["var"]))
+        )
+        torch_mlp.layer_out.weight.copy_(
+            torch.tensor(np.asarray(flax_params["layer_out"]["kernel"]).T)
+        )
+        if torch_mlp.layer_out.bias is not None:
+            torch_mlp.layer_out.bias.copy_(
+                torch.tensor(np.asarray(flax_params["layer_out"]["bias"]))
+            )
+
+
+class TestDirectPredParity:
+    def test_forward_matches_torch_reference(self, rng):
+        ds = make_ds(rng)
+        cfg = {
+            "latent_dim": 16, "hidden_dim_factor": 0.4, "lr": 1e-3,
+            "supervisor_hidden_dim": 8, "epochs": 5, "batch_size": 16,
+        }
+        model = DirectPred(cfg, ds, target_variables=["subtype"])
+        # briefly train so batch_stats are non-trivial
+        model.fit(ds, np.arange(24), np.arange(24, 32), lr=1e-3,
+                  batch_size=16, max_epochs=3)
+
+        p, s = model.params, model.batch_stats
+
+        enc_gex = TorchMLP(50, int(50 * 0.4), 16)
+        enc_cnv = TorchMLP(30, int(30 * 0.4), 16)
+        copy_mlp(enc_gex, p["encoder_gex"], s["encoder_gex"])
+        copy_mlp(enc_cnv, p["encoder_cnv"], s["encoder_cnv"])
+        fusion = nn.Linear(32, 16)
+        with torch.no_grad():
+            fusion.weight.copy_(
+                torch.tensor(np.asarray(p["fusion_block"]["kernel"]).T)
+            )
+            fusion.bias.copy_(torch.tensor(np.asarray(p["fusion_block"]["bias"])))
+        head = TorchMLP(16, 8, model.output_dims["subtype"])
+        copy_mlp(head, p["head_subtype"], s["head_subtype"])
+
+        enc_gex.eval(), enc_cnv.eval(), fusion.eval(), head.eval()
+        with torch.no_grad():
+            z = fusion(
+                torch.cat(
+                    [
+                        enc_gex(torch.tensor(ds.dat["gex"])),
+                        enc_cnv(torch.tensor(ds.dat["cnv"])),
+                    ],
+                    dim=1,
+                )
+            )
+            torch_logits = head(z).numpy()
+
+        out = model._forward_eval(model.make_eval_x(ds))
+        flax_logits = np.asarray(out["outputs"]["subtype"])
+        np.testing.assert_allclose(
+            flax_logits, torch_logits, rtol=1e-4, atol=1e-5
+        )
+        # embeddings match too
+        np.testing.assert_allclose(
+            np.asarray(out["embeddings"]), z.numpy(), rtol=1e-4, atol=1e-5
+        )
+
+    def test_init_distributions_match_torch(self, rng):
+        """Fresh kernels follow torch's U(+-1/sqrt(fan_in)) law."""
+        ds = make_ds(rng, gex=400, cnv=100)
+        cfg = {
+            "latent_dim": 64, "hidden_dim_factor": 0.5, "lr": 1e-3,
+            "supervisor_hidden_dim": 16, "epochs": 1, "batch_size": 16,
+        }
+        model = DirectPred(cfg, ds, target_variables=["subtype"])
+        model.init_params(ds, seed=0)
+        k = np.asarray(model.params["encoder_gex"]["layer_1"]["kernel"])
+        bound = 1.0 / np.sqrt(400)
+        assert abs(float(k.max()) - bound) < bound * 0.05
+        assert abs(float(k.min()) + bound) < bound * 0.05
+        # uniform distribution: std ~= bound / sqrt(3)
+        np.testing.assert_allclose(k.std(), bound / np.sqrt(3), rtol=0.05)
