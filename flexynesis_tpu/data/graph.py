@@ -18,9 +18,8 @@ import gzip
 import os
 import tempfile
 from difflib import SequenceMatcher
-from typing import Optional, Tuple
+from typing import Optional
 
-import numpy as np
 import pandas as pd
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 from types import SimpleNamespace
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

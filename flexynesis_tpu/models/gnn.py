@@ -14,7 +14,7 @@ lives on device for the model's lifetime.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,6 @@ from typing import Dict, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import pandas as pd
 
 from ..ops.initializers import make_torch_bias_init, torch_linear_kernel_init
 from ..ops.losses import mmd_loss

@@ -16,13 +16,11 @@ traffic. Anchor/positive/negative encode as one stacked (3B, F) GEMM.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.losses import compute_total_loss, triplet_margin_loss
+from ..ops.losses import compute_total_loss
 from .base import BaseModel, supervised_loss_terms
 from .direct_pred import DirectPredNet
 import flax.linen as nn

@@ -20,8 +20,6 @@ the dense form is the fast path for every benchmark dataset.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

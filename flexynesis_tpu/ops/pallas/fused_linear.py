@@ -20,8 +20,6 @@ On non-TPU backends the kernel runs in interpret mode (slow, tests only).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -14,7 +14,7 @@ over ICI. Axes used by the framework:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import numpy as np

@@ -11,7 +11,7 @@ preemption. HPO-level state checkpoints separately as JSON (train/hpo.py).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

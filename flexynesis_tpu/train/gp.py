@@ -14,7 +14,7 @@ perturbations of the incumbent.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 from scipy.stats import norm

@@ -13,7 +13,7 @@ networkx.community.louvain_communities is the same algorithm).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import networkx as nx
 import numpy as np

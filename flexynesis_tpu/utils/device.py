@@ -8,7 +8,7 @@ float32, so float64 arrays are downcast unless x64 is explicitly enabled.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
