@@ -140,6 +140,38 @@ def bench_tpu(gex, cnv, cls, epochs=EPOCHS, k=K_TRIALS):
     return wall
 
 
+def bench_ig(gex, cnv, cls):
+    """IG marker-discovery wall time at reference settings (25 steps,
+    batch 512, all classes) over the full cohort."""
+    from flexynesis_tpu.data.dataset import MultiOmicDataset
+    from flexynesis_tpu.models.direct_pred import DirectPred
+
+    ds = MultiOmicDataset(
+        dat={"gex": gex, "cnv": cnv},
+        ann={"subtype": cls},
+        variable_types={"subtype": "categorical"},
+        features={
+            "gex": [f"g{i}" for i in range(GEX)],
+            "cnv": [f"c{i}" for i in range(CNV)],
+        },
+        samples=[f"S{i}" for i in range(N_SAMPLES)],
+        label_mappings={"subtype": {i: f"grp{i}" for i in range(N_CLASSES)}},
+    )
+    cfg = {
+        "latent_dim": LATENT, "hidden_dim_factor": HIDDEN_FACTOR, "lr": 1e-3,
+        "supervisor_hidden_dim": SUP_HIDDEN, "epochs": 1, "batch_size": BATCH,
+    }
+    model = DirectPred(cfg, ds, target_variables=["subtype"])
+    model.init_params(ds)
+    # warm-up compiles
+    model.compute_feature_importance(ds, "subtype", steps_or_samples=25,
+                                     batch_size=512)
+    t0 = time.perf_counter()
+    model.compute_feature_importance(ds, "subtype", steps_or_samples=25,
+                                     batch_size=512)
+    return time.perf_counter() - t0
+
+
 def main():
     gex, cnv, cls = _synth()
 
@@ -148,6 +180,7 @@ def main():
 
     tpu_wall = bench_tpu(gex, cnv, cls)
     tpu_trials_per_hour = K_TRIALS * 3600.0 / tpu_wall
+    ig_seconds = bench_ig(gex, cnv, cls)
 
     # training throughput (samples/sec through the train step, per trial-sweep)
     n_train = int(N_SAMPLES * 0.8)
@@ -166,6 +199,7 @@ def main():
             "epochs_per_trial": EPOCHS,
             "n_samples": N_SAMPLES,
             "features": {"gex": GEX, "cnv": CNV},
+            "ig_attribution_seconds": round(ig_seconds, 3),
         },
     }
     print(json.dumps(result))
