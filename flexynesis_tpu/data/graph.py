@@ -222,6 +222,8 @@ def read_user_graph(
             for c in cols
             if c not in picked.values()
         }
+        if not scores:
+            continue  # e.g. 2-column files have no score candidate left
         best_col, best_score = max(scores.items(), key=lambda kv: kv[1])
         if best_score >= accept_threshold:
             picked[role] = best_col

@@ -1,0 +1,148 @@
+"""IO round-trips: csv_to_h5 + H5DataImporter, user-graph fuzzy matching,
+joblib artifacts, device management."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flexynesis_tpu.csv_to_h5 import convert_csv_to_h5
+from flexynesis_tpu.data.graph import read_user_graph
+from flexynesis_tpu.data.h5 import H5DataImporter, folder_has_h5
+from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+
+class TestH5Pipeline:
+    def test_csv_to_h5_roundtrip(self, rng, tmp_path):
+        df = pd.DataFrame(
+            rng.normal(size=(50, 20)).astype(np.float32),
+            index=[f"g{i}" for i in range(50)],
+            columns=[f"S{j}" for j in range(20)],
+        )
+        src = tmp_path / "gex.csv"
+        dst = tmp_path / "gex.h5"
+        df.to_csv(src)
+        convert_csv_to_h5(src, dst)
+        back = H5DataImporter._read_h5_as_dataframe(str(dst))
+        np.testing.assert_allclose(back.values, df.values, rtol=1e-6)
+        assert list(back.index) == list(df.index)
+        assert list(back.columns) == list(df.columns)
+
+    def test_h5_importer_end_to_end(self, tmp_path):
+        write_synthetic_folder(str(tmp_path), n_train=60, n_test=30, seed=2)
+        # convert gex to h5, delete the csv for train only (csv fallback for test)
+        for split in ("train", "test"):
+            src = tmp_path / split / "gex.csv"
+            convert_csv_to_h5(src, tmp_path / split / "gex.h5")
+        os.remove(tmp_path / "train" / "gex.csv")
+        assert folder_has_h5(str(tmp_path), ["gex"])
+        imp = H5DataImporter(
+            str(tmp_path), ["gex"], top_percentile=50, min_features=10
+        )
+        train, test = imp.import_data()
+        assert train.dat["gex"].shape[0] == 60
+        assert train.features["gex"] == test.features["gex"]
+
+
+class TestUserGraph:
+    def test_fuzzy_column_matching(self, tmp_path):
+        p = tmp_path / "net.tsv"
+        p.write_text(
+            "source_gene\ttarget_gene\tconfidence\n"
+            "TP53\tMDM2\t0.9\nBRCA1\tBARD1\t0.8\n"
+        )
+        df = read_user_graph(str(p))
+        assert list(df.columns) == ["protein1", "protein2", "weight"]
+        assert len(df) == 2
+        assert set(df["protein1"]) == {"TP53", "BRCA1"}
+
+    def test_two_column_graph_gets_unit_weight(self, tmp_path):
+        p = tmp_path / "net.csv"
+        p.write_text("GeneA,GeneB\na,b\nc,d\n")
+        df = read_user_graph(str(p))
+        assert (df["weight"] == 1.0).all()
+
+    def test_positional_fallback(self, tmp_path):
+        p = tmp_path / "net.csv"
+        p.write_text("x1,x2,x3\ng1,g2,0.5\ng3,g4,0.7\n")
+        df = read_user_graph(str(p))
+        assert len(df) == 2
+        assert df["weight"].tolist() == [0.5, 0.7]
+
+
+class TestArtifactsJoblib:
+    def test_joblib_roundtrip(self, tmp_path):
+        from flexynesis_tpu.data.importer import DataImporter
+        from flexynesis_tpu.inference import (
+            build_artifacts,
+            load_and_sniff_artifacts,
+            write_artifacts,
+        )
+
+        write_synthetic_folder(str(tmp_path / "d"), n_train=40, n_test=20, seed=4)
+        imp = DataImporter(
+            str(tmp_path / "d"), ["gex"], top_percentile=50, min_features=10
+        )
+        imp.import_data()
+        artifacts = build_artifacts(imp, ["gex"], ["subtype"])
+        p = str(tmp_path / "a.joblib")
+        write_artifacts(artifacts, p, as_json=False)
+        loaded = load_and_sniff_artifacts(p)
+        assert loaded["schema_version"] == 1
+        assert "gex" in loaded["transforms"]
+        np.testing.assert_allclose(
+            loaded["transforms"]["gex"].mean_, imp.scalers["gex"].mean_
+        )
+
+    def test_json_vs_joblib_equivalence(self, tmp_path):
+        from flexynesis_tpu.data.importer import DataImporter
+        from flexynesis_tpu.inference import (
+            build_artifacts,
+            load_and_sniff_artifacts,
+            write_artifacts,
+        )
+
+        write_synthetic_folder(str(tmp_path / "d"), n_train=40, n_test=20, seed=4)
+        imp = DataImporter(
+            str(tmp_path / "d"), ["gex"], top_percentile=50, min_features=10
+        )
+        imp.import_data()
+        artifacts = build_artifacts(imp, ["gex"], ["subtype"])
+        pj = str(tmp_path / "a.json")
+        pb = str(tmp_path / "a.joblib")
+        write_artifacts(artifacts, pj, as_json=True)
+        write_artifacts(artifacts, pb, as_json=False)
+        a = load_and_sniff_artifacts(pj)
+        b = load_and_sniff_artifacts(pb)
+        np.testing.assert_allclose(
+            a["transforms"]["gex"].mean_, b["transforms"]["gex"].mean_
+        )
+        # label encoder categories survive the JSON round trip
+        cats_a = list(a["label_encoders"]["subtype"].categories_[0])
+        cats_b = list(b["label_encoders"]["subtype"].categories_[0])
+        assert [c for c in cats_a if isinstance(c, str)] == [
+            c for c in cats_b if isinstance(c, str)
+        ]
+
+
+class TestDeviceMgmt:
+    def test_get_optimal_device(self):
+        from flexynesis_tpu.utils.device import (
+            get_device_memory_info,
+            get_optimal_device,
+            to_device_safe,
+        )
+
+        dev, platform = get_optimal_device()
+        assert platform == "cpu"  # tests force CPU
+        arr = to_device_safe(np.zeros(4, np.float64), dev)
+        assert str(arr.dtype) == "float32"
+        info = get_device_memory_info(dev)
+        assert info["platform"] == "cpu"
+
+    def test_requested_device_fallback(self):
+        from flexynesis_tpu.utils.device import get_optimal_device
+
+        dev, platform = get_optimal_device("cuda")  # unavailable -> fallback
+        assert platform == "cpu"
