@@ -77,9 +77,20 @@ class DataImporterInference:
             if extra and self.verbose:
                 print(f"[INFO] {modality}: ignoring {len(extra)} extra features")
             df = df[expected]
-            mats[modality] = pd.DataFrame(
+            scaled = pd.DataFrame(
                 scaler.transform(df), index=df.index, columns=df.columns
             )
+            n_missing = int(scaled.isna().sum().sum())
+            if n_missing:
+                # impute missing cells with the training mean (0 after
+                # standardization) — the training importer median-imputes,
+                # but only the fitted scalers are carried in the artifacts
+                print(
+                    f"[INFO] {modality}: imputing {n_missing} missing values "
+                    "with the training mean"
+                )
+                scaled = scaled.fillna(0.0)
+            mats[modality] = scaled
             if samples is None:
                 samples = df.index.tolist()
 

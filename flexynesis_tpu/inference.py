@@ -55,7 +55,11 @@ def _flatten_pytree(tree, prefix=""):
         for k, v in tree.items():
             out.update(_flatten_pytree(v, f"{prefix}{k}/"))
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        # ascontiguousarray is REQUIRED: some JAX backends (e.g. the axon
+        # TPU plugin) export device arrays as non-C-contiguous numpy views,
+        # and safetensors serializes the raw buffer without normalizing
+        # strides — silently corrupting every non-square matrix
+        out[prefix[:-1]] = np.ascontiguousarray(np.asarray(tree))
     return out
 
 
@@ -89,8 +93,8 @@ def save_model(model, path: str) -> str:
         }
     )
     if hasattr(model, "nw_dataset"):
-        flat["graph/edge_index"] = np.asarray(
-            model.nw_dataset.edge_index, dtype=np.int32
+        flat["graph/edge_index"] = np.ascontiguousarray(
+            np.asarray(model.nw_dataset.edge_index, dtype=np.int32)
         )
     save_file(flat, path)
     return path

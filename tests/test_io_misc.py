@@ -146,3 +146,20 @@ class TestDeviceMgmt:
 
         dev, platform = get_optimal_device("cuda")  # unavailable -> fallback
         assert platform == "cpu"
+
+
+class TestSafetensorsContiguity:
+    def test_noncontiguous_arrays_survive_roundtrip(self, rng, tmp_path):
+        """Regression: the axon TPU backend exports device arrays as
+        non-C-contiguous numpy views; safetensors writes raw buffers and
+        silently corrupts them unless save normalizes strides."""
+        from flexynesis_tpu.inference import _flatten_pytree, _unflatten_pytree
+        from safetensors.numpy import load_file, save_file
+
+        a = np.asfortranarray(rng.normal(size=(37, 11)).astype(np.float32))
+        assert not a.flags["C_CONTIGUOUS"]
+        flat = _flatten_pytree({"layer": {"kernel": a}})
+        p = str(tmp_path / "w.safetensors")
+        save_file(flat, p)
+        back = _unflatten_pytree(load_file(p))
+        np.testing.assert_array_equal(back["layer"]["kernel"], a)
