@@ -216,6 +216,7 @@ class CoxPH:
             },
             index=pd.Index(feats, name="covariate"),
         )
+        self._fit_baseline(df)
         return self
 
     def predict_partial_hazard(self, df: pd.DataFrame) -> pd.Series:
@@ -225,6 +226,50 @@ class CoxPH:
         )
         # equivalent to exp(X @ coef) up to a constant factor, as lifelines
         return pd.Series(np.exp(lp), index=df.index)
+
+    def _fit_baseline(self, df: pd.DataFrame) -> None:
+        """Breslow baseline cumulative hazard H0(t) at the mean covariates."""
+        t = df[self.duration_col].to_numpy(dtype=float)
+        e = df[self.event_col].to_numpy(dtype=float)
+        risk = self.predict_partial_hazard(df).to_numpy()
+        order = np.argsort(t)
+        t_s, e_s, r_s = t[order], e[order], risk[order]
+        # cumulative risk set sums from the end
+        rev_cumsum = np.cumsum(r_s[::-1])[::-1]
+        event_times = np.unique(t_s[e_s == 1])
+        H = []
+        h = 0.0
+        for ti in event_times:
+            d = np.sum((t_s == ti) & (e_s == 1))
+            at_risk = rev_cumsum[np.searchsorted(t_s, ti, side="left")]
+            h += d / max(at_risk, 1e-12)
+            H.append(h)
+        self._baseline_times = event_times
+        self._baseline_cumhaz = np.asarray(H)
+
+    def baseline_cumulative_hazard_at(self, times) -> np.ndarray:
+        if not hasattr(self, "_baseline_times"):
+            raise RuntimeError("Call fit() first.")
+        idx = np.searchsorted(
+            self._baseline_times, np.asarray(times, float), side="right"
+        )
+        H = np.concatenate([[0.0], self._baseline_cumhaz])
+        return H[idx]
+
+    def predict_survival_function(
+        self, df: pd.DataFrame, times=None
+    ) -> pd.DataFrame:
+        """S(t | x) = exp(-H0(t) * exp(lp(x))) — Breslow estimator.
+
+        Returns a (times x samples) DataFrame, matching lifelines'
+        orientation.
+        """
+        if times is None:
+            times = self._baseline_times
+        H0 = self.baseline_cumulative_hazard_at(times)
+        risk = self.predict_partial_hazard(df).to_numpy()
+        surv = np.exp(-np.outer(H0, risk))
+        return pd.DataFrame(surv, index=np.asarray(times), columns=df.index)
 
 
 # lifelines-compatible alias used in notebooks

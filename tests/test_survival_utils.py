@@ -150,3 +150,34 @@ class TestTimeDependentAUC:
             x[150:], [float(np.median(t))],
         )
         assert mean_auc > 0.75
+
+
+class TestBreslowBaseline:
+    def test_survival_function_properties(self, rng):
+        n = 200
+        x = rng.normal(size=n)
+        t = rng.exponential(np.exp(-x))
+        df = pd.DataFrame({"x": x, "time": t, "event": np.ones(n)})
+        m = CoxPH().fit(df, "time", "event")
+        times = np.quantile(t, [0.1, 0.5, 0.9])
+        S = m.predict_survival_function(df.iloc[:5], times)
+        assert S.shape == (3, 5)
+        # monotone non-increasing in time, within [0, 1]
+        assert (S.values[1:] <= S.values[:-1] + 1e-12).all()
+        assert (S.values >= 0).all() and (S.values <= 1).all()
+        # higher-risk sample has lower survival at the median time
+        hi = df["x"].idxmax()
+        lo = df["x"].idxmin()
+        S2 = m.predict_survival_function(df.loc[[hi, lo]], [float(times[1])])
+        assert S2.iloc[0, 0] < S2.iloc[0, 1]
+
+    def test_baseline_cumhaz_monotone(self, rng):
+        n = 100
+        df = pd.DataFrame({
+            "x": rng.normal(size=n),
+            "time": rng.exponential(5, n),
+            "event": rng.integers(0, 2, n).astype(float),
+        })
+        m = CoxPH().fit(df, "time", "event")
+        H = m.baseline_cumulative_hazard_at(np.linspace(0, 20, 50))
+        assert (np.diff(H) >= -1e-12).all()
