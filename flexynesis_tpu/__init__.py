@@ -59,6 +59,69 @@ _LAZY_ATTRS = {
         "flexynesis_tpu.utils.metrics",
         "get_predicted_labels",
     ),
+    # notebook-facing analysis helpers (reference flexynesis.* surface)
+    "evaluate_baseline_performance": (
+        "flexynesis_tpu.utils.baselines", "evaluate_baseline_performance",
+    ),
+    "evaluate_baseline_survival_performance": (
+        "flexynesis_tpu.utils.baselines",
+        "evaluate_baseline_survival_performance",
+    ),
+    "plot_dim_reduced": ("flexynesis_tpu.utils.plotting", "plot_dim_reduced"),
+    "plot_kaplan_meier_curves": (
+        "flexynesis_tpu.utils.plotting", "plot_kaplan_meier_curves",
+    ),
+    "plot_scatter": ("flexynesis_tpu.utils.plotting", "plot_scatter"),
+    "plot_boxplot": ("flexynesis_tpu.utils.plotting", "plot_boxplot"),
+    "plot_roc_curves": ("flexynesis_tpu.utils.plotting", "plot_roc_curves"),
+    "plot_pr_curves": ("flexynesis_tpu.utils.plotting", "plot_pr_curves"),
+    "plot_hazard_ratios": (
+        "flexynesis_tpu.utils.plotting", "plot_hazard_ratios",
+    ),
+    "plot_label_concordance_heatmap": (
+        "flexynesis_tpu.utils.plotting", "plot_label_concordance_heatmap",
+    ),
+    "build_cox_model": ("flexynesis_tpu.utils.survival", "build_cox_model"),
+    "CoxPHFitter": ("flexynesis_tpu.utils.survival", "CoxPHFitter"),
+    "split_by_median": ("flexynesis_tpu.utils.survival", "split_by_median"),
+    "find_optimal_cutoff": (
+        "flexynesis_tpu.utils.survival", "find_optimal_cutoff",
+    ),
+    "recursive_binary_split_minN": (
+        "flexynesis_tpu.utils.survival", "recursive_binary_split_minN",
+    ),
+    "k_means_clustering": (
+        "flexynesis_tpu.utils.clustering", "k_means_clustering",
+    ),
+    "louvain_clustering": (
+        "flexynesis_tpu.utils.clustering", "louvain_clustering",
+    ),
+    "get_optimal_clusters": (
+        "flexynesis_tpu.utils.clustering", "get_optimal_clusters",
+    ),
+    "compute_ami_ari": ("flexynesis_tpu.utils.clustering", "compute_ami_ari"),
+    "get_important_features": (
+        "flexynesis_tpu.utils.clustering", "get_important_features",
+    ),
+    "print_summary_stats": (
+        "flexynesis_tpu.utils.clustering", "print_summary_stats",
+    ),
+    "remove_batch_associated_variables": (
+        "flexynesis_tpu.utils.batch_correction",
+        "remove_batch_associated_variables",
+    ),
+    "optimal_transport_align": (
+        "flexynesis_tpu.utils.batch_correction", "optimal_transport_align",
+    ),
+    "reciprocal_pca_mnn": (
+        "flexynesis_tpu.utils.batch_correction", "reciprocal_pca_mnn",
+    ),
+    "CBioPortalData": ("flexynesis_tpu.utils.cbioportal", "CBioPortalData"),
+    "STRING": ("flexynesis_tpu.data.graph", "STRING"),
+    "read_user_graph": ("flexynesis_tpu.data.graph", "read_user_graph"),
+    "get_optimal_device": (
+        "flexynesis_tpu.utils.device", "get_optimal_device",
+    ),
 }
 
 
