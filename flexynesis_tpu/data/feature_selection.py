@@ -106,6 +106,67 @@ def _correlation_matrix(X: jnp.ndarray) -> jnp.ndarray:
     return cov / (std[:, None] * std[None, :])
 
 
+def laplacian_score_sharded(
+    X: np.ndarray, k: int = 5, mesh=None, axis: str = "data"
+) -> np.ndarray:
+    """Laplacian scores with the FEATURE axis sharded across a device mesh.
+
+    SURVEY.md §5.7: the reference's answer to wide feature matrices is
+    subsampling; here each device scores its feature shard against the
+    replicated (n_samples x n_samples) graph operators — the framework's
+    "sequence parallel" analog. Falls back to the single-device kernel when
+    no mesh is given.
+    """
+    from jax import shard_map as _shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        return laplacian_score(X, k)
+    X = np.asarray(X, dtype=np.float32)
+    n, f = X.shape
+    n_dev = mesh.shape[axis]
+    f_pad = (-f) % n_dev
+    Xp = np.pad(X, ((0, 0), (0, f_pad)))
+
+    Xj = jnp.asarray(X)
+    # graph operators depend only on samples — built once, replicated
+    sq = jnp.sum(jnp.square(Xj), axis=1)
+    d2 = jnp.maximum(
+        sq[:, None] + sq[None, :] - 2.0 * Xj @ Xj.T, 0.0
+    )
+    d2 = d2.at[jnp.arange(n), jnp.arange(n)].set(-1.0)
+    _, nbr_idx = jax.lax.top_k(-d2, k)
+    W = jnp.zeros((n, n), jnp.float32)
+    W = W.at[jnp.repeat(jnp.arange(n), k), nbr_idx.reshape(-1)].set(1.0)
+    D_vec = jnp.sum(W, axis=1)
+    dis = 1.0 / jnp.sqrt(D_vec)
+    S = W * dis[:, None] * dis[None, :]
+    w_nd = W.at[jnp.arange(n), jnp.arange(n)].set(0.0)
+    d_in = jnp.sum(w_nd, axis=0)
+    dn = jnp.sqrt(jnp.where(d_in == 0, 1.0, d_in))
+    L = -w_nd / (dn[:, None] * dn[None, :])
+    L = L.at[jnp.arange(n), jnp.arange(n)].set(jnp.where(d_in > 0, 1.0, 0.0))
+
+    def score_shard(x_shard, S, L, D_vec):
+        # each device sees (n_samples, f/n_dev); no collectives needed
+        F = x_shard - jnp.sum(S @ x_shard, axis=0) / n
+        num = jnp.sum(F * (L @ F), axis=0)
+        den = jnp.sum(F * (F * D_vec[:, None]), axis=0)
+        return num / den
+
+    sharded = _shard_map(
+        score_shard,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P()),
+        out_specs=P(axis),
+    )
+    Xd = jax.device_put(
+        jnp.asarray(Xp), NamedSharding(mesh, P(None, axis))
+    )
+    scores = jax.jit(sharded)(Xd, S, L, D_vec)
+    return np.asarray(scores)[:f]
+
+
 def remove_redundant_features(
     X: pd.DataFrame,
     laplacian_scores: np.ndarray,

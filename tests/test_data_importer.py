@@ -165,3 +165,18 @@ class TestFastCSV:
         assert np.isnan(a.loc["g1", "S2"])
         assert np.isnan(a.loc["g2", "S1"])
         assert np.isnan(a.loc["g2", "S2"])
+
+
+class TestShardedLaplacian:
+    def test_matches_single_device(self, rng):
+        from flexynesis_tpu.data.feature_selection import (
+            laplacian_score,
+            laplacian_score_sharded,
+        )
+        from flexynesis_tpu.parallel.mesh import get_mesh
+
+        X = rng.normal(size=(60, 37)).astype(np.float32)  # 37 pads to 40
+        mesh = get_mesh((("data", 8),))
+        sharded = laplacian_score_sharded(X, k=5, mesh=mesh)
+        single = laplacian_score(X, k=5)
+        np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-6)
