@@ -149,3 +149,102 @@ class TestDirectPredParity:
         assert abs(float(k.min()) + bound) < bound * 0.05
         # uniform distribution: std ~= bound / sqrt(3)
         np.testing.assert_allclose(k.std(), bound / np.sqrt(3), rtol=0.05)
+
+
+class TestVAEBlockParity:
+    def test_encoder_decoder_match_torch(self, rng):
+        """Flax Encoder/Decoder stacks with copied weights match the
+        reference's torch math (modules.py:10-103) in eval mode."""
+        from flexynesis_tpu.ops import Decoder, Encoder
+
+        B, D_IN, H, LAT = 12, 30, 14, 8
+        x_np = rng.normal(size=(B, D_IN)).astype(np.float32)
+
+        enc = Encoder(hidden_dims=[H], latent_dim=LAT)
+        v = enc.init(jax.random.key(0), jnp.array(x_np), train=False)
+        p, s = v["params"], v["batch_stats"]
+
+        class TorchEnc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin = nn.Linear(D_IN, H)
+                self.bn = nn.BatchNorm1d(H)
+                self.mean = nn.Linear(H, LAT)
+                self.var = nn.Linear(H, LAT)
+
+            def forward(self, x):
+                h = self.bn(torch.nn.functional.leaky_relu(self.lin(x), 0.2))
+                return self.mean(h), self.var(h)
+
+        t = TorchEnc()
+        hp = p["hidden_layers"]
+        with torch.no_grad():
+            t.lin.weight.copy_(torch.tensor(np.asarray(hp["dense_0"]["kernel"]).T))
+            t.lin.bias.copy_(torch.tensor(np.asarray(hp["dense_0"]["bias"])))
+            t.bn.weight.copy_(
+                torch.tensor(np.asarray(hp["bn_0"]["scale"]))
+            )
+            t.bn.bias.copy_(torch.tensor(np.asarray(hp["bn_0"]["bias"])))
+            t.bn.running_mean.copy_(
+                torch.tensor(np.asarray(s["hidden_layers"]["bn_0"]["mean"]))
+            )
+            t.bn.running_var.copy_(
+                torch.tensor(np.asarray(s["hidden_layers"]["bn_0"]["var"]))
+            )
+            t.mean.weight.copy_(torch.tensor(np.asarray(p["FC_mean"]["kernel"]).T))
+            t.mean.bias.copy_(torch.tensor(np.asarray(p["FC_mean"]["bias"])))
+            t.var.weight.copy_(torch.tensor(np.asarray(p["FC_var"]["kernel"]).T))
+            t.var.bias.copy_(torch.tensor(np.asarray(p["FC_var"]["bias"])))
+        t.eval()
+
+        mean_f, logvar_f = enc.apply(v, jnp.array(x_np), train=False)
+        with torch.no_grad():
+            mean_t, logvar_t = t(torch.tensor(x_np))
+        np.testing.assert_allclose(
+            np.asarray(mean_f), mean_t.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(logvar_f), logvar_t.numpy(), rtol=1e-4, atol=1e-5
+        )
+
+        # decoder: sigmoid output head
+        from flexynesis_tpu.ops import Decoder
+
+        dec = Decoder(hidden_dims=[H], output_dim=D_IN)
+        vd = dec.init(jax.random.key(1), jnp.array(np.asarray(mean_f)), train=False)
+        pd_, sd = vd["params"], vd["batch_stats"]
+
+        class TorchDec(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin = nn.Linear(LAT, H)
+                self.bn = nn.BatchNorm1d(H)
+                self.out = nn.Linear(H, D_IN)
+
+            def forward(self, z):
+                h = self.bn(torch.nn.functional.leaky_relu(self.lin(z), 0.2))
+                return torch.sigmoid(self.out(h))
+
+        td = TorchDec()
+        hp = pd_["hidden_layers"]
+        with torch.no_grad():
+            td.lin.weight.copy_(torch.tensor(np.asarray(hp["dense_0"]["kernel"]).T))
+            td.lin.bias.copy_(torch.tensor(np.asarray(hp["dense_0"]["bias"])))
+            td.bn.weight.copy_(torch.tensor(np.asarray(hp["bn_0"]["scale"])))
+            td.bn.bias.copy_(torch.tensor(np.asarray(hp["bn_0"]["bias"])))
+            td.bn.running_mean.copy_(
+                torch.tensor(np.asarray(sd["hidden_layers"]["bn_0"]["mean"]))
+            )
+            td.bn.running_var.copy_(
+                torch.tensor(np.asarray(sd["hidden_layers"]["bn_0"]["var"]))
+            )
+            td.out.weight.copy_(torch.tensor(np.asarray(pd_["FC_output"]["kernel"]).T))
+            td.out.bias.copy_(torch.tensor(np.asarray(pd_["FC_output"]["bias"])))
+        td.eval()
+
+        xhat_f = dec.apply(vd, jnp.array(np.asarray(mean_f)), train=False)
+        with torch.no_grad():
+            xhat_t = td(mean_t)
+        np.testing.assert_allclose(
+            np.asarray(xhat_f), xhat_t.numpy(), rtol=1e-4, atol=1e-5
+        )
