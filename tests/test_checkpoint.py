@@ -75,3 +75,22 @@ class TestProfiling:
         with t.phase("x"):
             pass
         assert not t.phases
+
+
+class TestParallelFineTuner:
+    def test_parallel_grid_matches_sequential_choice_quality(self, train_ds, tmp_path):
+        import jax
+
+        from flexynesis_tpu.train.finetune import FineTuner
+
+        model = DirectPred(CFG, train_ds, target_variables=["subtype"])
+        model.fit(train_ds, lr=0.01, batch_size=32, max_epochs=10)
+        base_preds = model.predict(train_ds)
+
+        ft_ds = train_ds.subset(np.arange(30))
+        tuner = FineTuner(model, ft_ds, n_splits=3, max_epochs=8,
+                          early_stop_patience=3)
+        tuned = tuner.run_experiments(parallel=True)
+        assert tuned.params is not None
+        preds = tuned.predict(train_ds)
+        assert np.isfinite(preds["subtype"]).all()
