@@ -83,9 +83,9 @@ class TestParallelTrials:
         tr, va = train_val_split(len(train_ds), 0.2)
         pt = ParallelTrials(model, train_ds)
         out = pt.run(
-            lrs=np.array([0.01, 0.02]),
+            lrs=np.array([0.05, 0.08]),  # aggressive lrs plateau fast
             seeds=np.array([1, 2]),
             train_idx=tr, val_idx=va, batch_size=32,
-            max_epochs=300, early_stop_patience=5,
+            max_epochs=500, early_stop_patience=3,
         )
-        assert out["epochs_run"] < 300
+        assert out["epochs_run"] < 500
