@@ -132,12 +132,15 @@ def bench_tpu(gex, cnv, cls, epochs=EPOCHS, k=K_TRIALS):
     pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
            batch_size=BATCH, max_epochs=epochs, epochs_per_eval=epochs)
 
-    t0 = time.perf_counter()
-    out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
-                 batch_size=BATCH, max_epochs=epochs, epochs_per_eval=epochs)
-    wall = time.perf_counter() - t0
-    assert np.all(np.isfinite(out["best_val_loss"]))
-    return wall
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
+                     batch_size=BATCH, max_epochs=epochs,
+                     epochs_per_eval=epochs)
+        walls.append(time.perf_counter() - t0)
+        assert np.all(np.isfinite(out["best_val_loss"]))
+    return float(np.median(walls))
 
 
 def bench_ig(gex, cnv, cls):

@@ -79,6 +79,15 @@ def expected_improvement(mu, sigma, y_best, xi: float = 0.01):
     return imp * norm.cdf(z) + sigma * norm.pdf(z)
 
 
+def probability_of_improvement(mu, sigma, y_best, xi: float = 0.01):
+    return norm.cdf((y_best - mu - xi) / sigma)
+
+
+def lower_confidence_bound(mu, sigma, kappa: float = 1.96):
+    # minimization: smaller LCB = more attractive; negate so argmax works
+    return -(mu - kappa * sigma)
+
+
 class BayesianOptimizer:
     """Minimizing ask/tell optimizer over a SearchSpace."""
 
@@ -95,6 +104,10 @@ class BayesianOptimizer:
         self.n_candidates = n_candidates
         self.X: List[np.ndarray] = []
         self.y: List[float] = []
+        # gp_hedge acquisition portfolio (EI / PI / LCB), probability-matched
+        # by accumulated gains — skopt Optimizer(acq_func="gp_hedge") analog
+        self._gains = np.zeros(3)
+        self._last_strategy: int | None = None
 
     # ----------------------------------------------------------- persistence
 
@@ -103,12 +116,14 @@ class BayesianOptimizer:
             "X": np.asarray(self.X).tolist(),
             "y": list(map(float, self.y)),
             "rng_state": self.rng.bit_generator.state,
+            "gains": self._gains.tolist(),
         }
 
     def load_state_dict(self, state: dict) -> None:
         self.X = [np.asarray(x) for x in state["X"]]
         self.y = list(state["y"])
         self.rng.bit_generator.state = state["rng_state"]
+        self._gains = np.asarray(state.get("gains", [0.0, 0.0, 0.0]))
 
     # ------------------------------------------------------------- ask/tell
 
@@ -125,8 +140,19 @@ class BayesianOptimizer:
         )
         cand = np.vstack([cand, local])
         mu, sigma = gp.predict(cand)
-        ei = expected_improvement(mu, sigma, float(np.min(y)))
-        return cand[int(np.argmax(ei))]
+        y_best = float(np.min(y))
+        scores = [
+            expected_improvement(mu, sigma, y_best),
+            probability_of_improvement(mu, sigma, y_best),
+            lower_confidence_bound(mu, sigma),
+        ]
+        # probability-matching over accumulated gains (gp_hedge)
+        eta = 1.0
+        logits = eta * (self._gains - self._gains.max())
+        probs = np.exp(logits) / np.exp(logits).sum()
+        strategy = int(self.rng.choice(3, p=probs))
+        self._last_strategy = strategy
+        return cand[int(np.argmax(scores[strategy]))]
 
     def ask(self, n: int = 1) -> List[dict]:
         """Suggest n parameter dicts; batched via constant-liar fantasies."""
@@ -147,6 +173,11 @@ class BayesianOptimizer:
     def tell(self, params: dict, value: float) -> None:
         self.X.append(self.space.to_unit(params))
         self.y.append(float(value))
+        if self._last_strategy is not None:
+            # reward the strategy that produced this suggestion with the
+            # (negated) observed loss — better observations grow its gain
+            self._gains[self._last_strategy] += -float(value)
+            self._last_strategy = None
 
     @property
     def best(self):
