@@ -27,17 +27,39 @@ import optax
 
 
 def _init_stacked(model, seeds):
-    """Stack fresh per-seed parameter pytrees along a leading trial axis."""
-    saved = (model.params, model.batch_stats)
-    params_list, stats_list = [], []
-    for s in seeds:
-        p, bs = model.init_params(None, int(s))
-        params_list.append(p)
-        stats_list.append(bs)
-    model.params, model.batch_stats = saved
-    params = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
-    stats = jax.tree.map(lambda *xs: jnp.stack(xs), *stats_list)
-    return params, stats
+    """Stack fresh per-seed parameter pytrees along a leading trial axis.
+
+    Initialization is vmapped over seeds — K sequential host-side inits would
+    otherwise dominate short trials (measured ~8x the actual training time
+    for 16 trials x 10 epochs).
+    """
+    seeds = jnp.asarray(np.asarray(seeds), jnp.uint32)
+    try:
+        x = {
+            k: jnp.zeros((2, d), jnp.float32)
+            for k, d in zip(model.layers, model.input_dims)
+        }
+        extra = ()
+        if hasattr(model, "_adj"):  # GNN signature: module.init(key, x, adj)
+            extra = (model._adj,)
+
+        def init_one(seed):
+            return model.module.init(jax.random.key(seed), x, *extra, train=False)
+
+        variables = jax.jit(jax.vmap(init_one))(seeds)
+        return variables["params"], variables.get("batch_stats", {})
+    except Exception:
+        # fallback: per-seed host loop through the model's own init_params
+        saved = (model.params, model.batch_stats)
+        params_list, stats_list = [], []
+        for s in np.asarray(seeds):
+            p, bs = model.init_params(None, int(s))
+            params_list.append(p)
+            stats_list.append(bs)
+        model.params, model.batch_stats = saved
+        params = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+        stats = jax.tree.map(lambda *xs: jnp.stack(xs), *stats_list)
+        return params, stats
 
 
 class ParallelTrials:
@@ -151,8 +173,19 @@ class ParallelTrials:
         K = len(lrs)
         model, dataset = self.model, self.dataset
 
-        train_data = model.make_batch(dataset, train_idx)
-        val_data = model.make_batch(dataset, val_idx)
+        # cache the device-resident batches across runs — repeated runs with
+        # the same split (e.g. HPO rounds) skip the host->device transfer
+        cache_key = (
+            np.asarray(train_idx).tobytes(),
+            np.asarray(val_idx).tobytes(),
+        )
+        if getattr(self, "_data_cache_key", None) != cache_key:
+            self._data_cache = (
+                model.make_batch(dataset, train_idx),
+                model.make_batch(dataset, val_idx),
+            )
+            self._data_cache_key = cache_key
+        train_data, val_data = self._data_cache
         n = len(train_idx)
         batch_size = min(batch_size, n)
         n_batches = max(n // batch_size, 1)
