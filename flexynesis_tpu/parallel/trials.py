@@ -62,6 +62,141 @@ def _init_stacked(model, seeds):
         return params, stats
 
 
+def vmapped_grid_fit(
+    model,
+    dataset,
+    *,
+    start_params,
+    start_stats,
+    lrs: np.ndarray,
+    seeds: np.ndarray,
+    train_idx: np.ndarray,   # (T, n_tr) per-trial train rows
+    val_idx: np.ndarray,     # (T, n_val) per-trial val rows
+    masks=None,              # optional per-trial 0/1 update-mask pytree
+    batch_size: int = 32,
+    max_epochs: int = 50,
+    early_stop_patience: int = -1,
+    matmul_precision: str = "bfloat16",
+):
+    """Train T trials with PER-TRIAL data splits concurrently under vmap.
+
+    The general engine behind CV-fold parallelism (HPO ``use_cv`` and the
+    fine-tuner's lr x freeze x fold grid — SURVEY.md §2.3 item 3): every
+    trial sees its own train/val row indices into the shared device-resident
+    dataset, its own lr/seed, and (optionally) its own parameter-update mask.
+    ``start_params=None`` initializes fresh per-seed parameters; otherwise
+    the given (unstacked) params/stats broadcast to all trials (fine-tuning).
+    Returns {best_val_loss (T,), best_epoch (T,), epochs_run}.
+    """
+    T = len(lrs)
+    data = model.make_batch(dataset)
+    static = {k: v for k, v in data.items() if k.startswith("_")}
+    per_sample = {k: v for k, v in data.items() if not k.startswith("_")}
+
+    loss_fn = model.loss_fn
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    )
+    n_tr = train_idx.shape[1]
+    batch_size = min(batch_size, n_tr)
+    n_batches = max(n_tr // batch_size, 1)
+
+    if masks is None:
+        template = start_params if start_params is not None else model.params
+        if template is None:
+            template, _ = model.init_params(None, int(seeds[0]))
+        masks_tree = jax.tree.map(lambda _: jnp.ones((T,), jnp.float32), template)
+    else:
+        masks_tree = masks
+
+    def one_trial_epoch(params, opt_state, stats, rng, lr, mask, tr_i, va_i):
+        def step(carry, batch_idx):
+            params, opt_state, stats, rng = carry
+            rng, srng = jax.random.split(rng)
+            rows = tr_i[batch_idx]
+            batch = jax.tree.map(lambda a: a[rows], per_sample)
+            batch.update(static)
+
+            def wrapped(p):
+                return loss_fn(p, stats, batch, srng, True)
+
+            (_, (_, new_stats)), grads = jax.value_and_grad(
+                wrapped, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u, m: -lr * u * m, updates, mask)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, new_stats, rng), None
+
+        rng, prng = jax.random.split(rng)
+        order = jax.random.permutation(prng, n_tr)[
+            : n_batches * batch_size
+        ].reshape(n_batches, batch_size)
+        (params, opt_state, stats, rng), _ = jax.lax.scan(
+            step, (params, opt_state, stats, rng), order
+        )
+        val_batch = jax.tree.map(lambda a: a[va_i], per_sample)
+        val_batch.update(static)
+        _, (losses, _) = loss_fn(params, stats, val_batch, None, False)
+        return params, opt_state, stats, rng, sum(losses.values())
+
+    @jax.jit
+    def epoch_vmapped(params, opt_state, stats, rngs, lrs, masks, tr, va):
+        return jax.vmap(one_trial_epoch)(
+            params, opt_state, stats, rngs, lrs, masks, tr, va
+        )
+
+    if start_params is not None:
+        bcast = lambda tree: jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (T,) + a.shape).copy(), tree
+        )
+        params = bcast(start_params)
+        stats = bcast(start_stats)
+    else:
+        params, stats = _init_stacked(model, seeds)
+    opt_state = jax.vmap(tx.init)(params)
+    rngs = jax.vmap(jax.random.key)(jnp.asarray(np.asarray(seeds), jnp.uint32))
+    lrs_dev = jnp.asarray(lrs, jnp.float32)
+    tr = jnp.asarray(train_idx)
+    va = jnp.asarray(val_idx)
+
+    best = np.full(T, np.inf)
+    best_epoch = np.zeros(T, dtype=int)
+    stall = np.zeros(T, dtype=int)
+    epochs_run = 0
+    for epoch in range(max_epochs):
+        with jax.default_matmul_precision(matmul_precision):
+            params, opt_state, stats, rngs, vloss = epoch_vmapped(
+                params, opt_state, stats, rngs, lrs_dev, masks_tree, tr, va
+            )
+        epochs_run = epoch + 1
+        v = np.asarray(vloss)
+        improved = v < best
+        best = np.where(improved, v, best)
+        best_epoch = np.where(improved, epochs_run, best_epoch)
+        stall = np.where(improved, 0, stall + 1)
+        if early_stop_patience > 0 and np.all(stall >= early_stop_patience):
+            break
+    return {
+        "best_val_loss": best,
+        "best_epoch": np.maximum(best_epoch, 1),
+        "epochs_run": epochs_run,
+    }
+
+
+def equal_kfold_indices(n: int, k: int, seed: int = 42):
+    """(k, n_tr) / (k, n_val) equal-size fold index tables (trims n % k)."""
+    rng = np.random.default_rng(seed)
+    n_cv = (n // k) * k
+    perm = rng.permutation(n)[:n_cv]
+    folds = perm.reshape(k, n_cv // k)
+    train = np.stack(
+        [np.concatenate([folds[j] for j in range(k) if j != i]) for i in range(k)]
+    )
+    return train, folds
+
+
 class ParallelTrials:
     """Train K same-shape trials of one model template concurrently."""
 

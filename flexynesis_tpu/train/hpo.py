@@ -80,6 +80,9 @@ class HyperparameterTuning:
         self.checkpoint_path = checkpoint_path
         self.batch_ask = max(int(batch_ask), 1)
         self.seed = seed
+        # CV folds of a trial train concurrently (vmapped) by default —
+        # SURVEY §2.3 item 3; set False to reproduce sequential fold fits
+        self.parallel_folds = True
 
         # the triplet model trains over anchors (samples with a non-missing
         # first target label) — splits and batch space follow that count,
@@ -148,6 +151,8 @@ class HyperparameterTuning:
             return model
 
         if self.use_cv:
+            if self.parallel_folds:
+                return self._objective_cv_parallel(params, n)
             splits = kfold_indices(n, self.n_splits, seed=self.seed)
         else:
             splits = [train_val_split(n, self.val_size, seed=self.seed)]
@@ -176,6 +181,38 @@ class HyperparameterTuning:
             losses.append(res.val_loss)
             epochs.append(res.epochs_run)
         return float(np.mean(losses)), int(np.mean(epochs)), model
+
+    def _objective_cv_parallel(self, params: dict, n: int):
+        """All k CV folds of one suggestion train concurrently (vmapped).
+
+        Fold sizes are equalized by trimming n % k samples from CV (the
+        final full-data retrain still uses every sample).
+        """
+        from ..parallel.trials import equal_kfold_indices, vmapped_grid_fit
+
+        k = self.n_splits
+        tr, va = equal_kfold_indices(n, k, seed=self.seed)
+        model = self.model_class(**self._model_args(params))
+        out = vmapped_grid_fit(
+            model,
+            self.dataset,
+            start_params=None,
+            start_stats=None,
+            lrs=np.full(k, float(params["lr"]), np.float32),
+            seeds=np.arange(self.seed, self.seed + k),
+            train_idx=tr,
+            val_idx=va,
+            batch_size=int(params["batch_size"]),
+            max_epochs=int(params["epochs"]),
+            early_stop_patience=self.early_stop_patience,
+        )
+        avg_loss = float(np.mean(out["best_val_loss"]))
+        avg_epochs = int(np.mean(out["best_epoch"]))
+        print(
+            f"[INFO] {k}-fold CV (vmapped, concurrent): "
+            f"avg val loss {avg_loss:.4f}"
+        )
+        return avg_loss, avg_epochs, None
 
     # -------------------------------------------------------------- tuning
 

@@ -180,3 +180,25 @@ class TestParallelHPO:
         groups = tuner._bucket_by_architecture([a, b, c])
         sizes = sorted(len(g) for g in groups)
         assert sizes == [1, 2]
+
+
+class TestParallelCV:
+    def test_use_cv_parallel_folds(self, tmp_path):
+        from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+        p = tmp_path / "cvd"
+        write_synthetic_folder(str(p), n_train=90, n_test=30, seed=12)
+        imp = DataImporter(str(p), ["gex"], top_percentile=50, min_features=20)
+        train_ds, _ = imp.import_data()
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=2, use_cv=True,
+            cv_splits=3, early_stop_patience=3,
+        )
+        for d in tuner.space.dimensions:
+            if d.name == "epochs":
+                d.categories = [8]
+        model, best = tuner.perform_tuning()
+        # CV path ends in a full-data retrain, so a model must exist
+        assert model is not None and model.params is not None
+        assert best["epochs"] >= 1
