@@ -144,27 +144,17 @@ class FineTuner:
 
     def _grid_parallel(self, n: int, k: int):
         """All (lr, freeze, fold) cells as one vmapped training program."""
-        import optax
+        from ..parallel.trials import equal_kfold_indices, vmapped_grid_fit
 
         model = self.model
-        rng_np = np.random.default_rng(self.seed)
-        n_cv = (n // k) * k
-        perm = rng_np.permutation(n)[:n_cv]
-        folds = perm.reshape(k, n_cv // k)
-        fold_train = np.stack(
-            [np.concatenate([folds[j] for j in range(k) if j != i]) for i in range(k)]
-        )  # (k, n_tr)
-        fold_val = folds  # (k, n_val)
-
+        fold_train, fold_val = equal_kfold_indices(n, k, seed=self.seed)
         combos = [
             (lr, freeze)
             for lr in self.learning_rates
             for freeze in FREEZE_CONFIGS
         ]
         T = len(combos) * k
-        lrs = np.asarray(
-            [lr for lr, _ in combos for _ in range(k)], np.float32
-        )
+        lrs = np.asarray([lr for lr, _ in combos for _ in range(k)], np.float32)
         mask_trees = [
             _make_mask_fn(freeze)(model.params)
             for _, freeze in combos
@@ -174,95 +164,25 @@ class FineTuner:
             lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]),
             *mask_trees,
         )
-        train_idx = jnp.asarray(np.tile(fold_train, (len(combos), 1)))
-        val_idx = jnp.asarray(np.tile(fold_val, (len(combos), 1)))
-
-        data = model.make_batch(self.dataset)  # full data, per-sample leaves
-        static = {kk: v for kk, v in data.items() if kk.startswith("_")}
-        per_sample = {kk: v for kk, v in data.items() if not kk.startswith("_")}
-
-        loss_fn = model.loss_fn
-        tx = optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        )
-        n_tr = fold_train.shape[1]
-        batch_size = min(32, n_tr)
-        n_batches = max(n_tr // batch_size, 1)
-
-        def one_trial_epoch(params, opt_state, stats, rng, lr, mask,
-                            tr_idx, va_idx):
-            def step(carry, batch_idx):
-                params, opt_state, stats, rng = carry
-                rng, srng = jax.random.split(rng)
-                rows = tr_idx[batch_idx]
-                batch = jax.tree.map(lambda a: a[rows], per_sample)
-                batch.update(static)
-
-                def wrapped(p):
-                    return loss_fn(p, stats, batch, srng, True)
-
-                (_, (_, new_stats)), grads = jax.value_and_grad(
-                    wrapped, has_aux=True
-                )(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                updates = jax.tree.map(
-                    lambda u, m: -lr * u * m, updates, mask
-                )
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, new_stats, rng), None
-
-            rng, prng = jax.random.split(rng)
-            order = jax.random.permutation(prng, n_tr)[
-                : n_batches * batch_size
-            ].reshape(n_batches, batch_size)
-            (params, opt_state, stats, rng), _ = jax.lax.scan(
-                step, (params, opt_state, stats, rng), order
-            )
-            val_batch = jax.tree.map(lambda a: a[va_idx], per_sample)
-            val_batch.update(static)
-            _, (losses, _) = loss_fn(params, stats, val_batch, None, False)
-            return params, opt_state, stats, rng, sum(losses.values())
-
-        @jax.jit
-        def epoch_vmapped(params, opt_state, stats, rngs, lrs, masks,
-                          tr_idx, va_idx):
-            return jax.vmap(one_trial_epoch)(
-                params, opt_state, stats, rngs, lrs, masks, tr_idx, va_idx
-            )
-
-        stack = lambda tree: jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (T,) + a.shape), tree
-        )
-        params = jax.tree.map(jnp.copy, stack(model.params))
-        stats = jax.tree.map(jnp.copy, stack(model.batch_stats))
-        opt_state = jax.vmap(tx.init)(params)
-        rngs = jax.vmap(jax.random.key)(
-            jnp.arange(self.seed, self.seed + T, dtype=jnp.uint32)
-        )
-        lrs_dev = jnp.asarray(lrs)
-
-        best_val = np.full(T, np.inf)
-        stall = np.zeros(T, dtype=int)
         print(
             f"[INFO] Fine-tuning grid: {len(combos)} (lr x freeze) combos "
             f"x {k} folds = {T} concurrent vmapped fits"
         )
-        for epoch in range(self.max_epochs):
-            params, opt_state, stats, rngs, vloss = epoch_vmapped(
-                params, opt_state, stats, rngs, lrs_dev, masks,
-                train_idx, val_idx,
-            )
-            v = np.asarray(vloss)
-            improved = v < best_val
-            best_val = np.where(improved, v, best_val)
-            stall = np.where(improved, 0, stall + 1)
-            if self.early_stop_patience > 0 and np.all(
-                stall >= self.early_stop_patience
-            ):
-                break
-
-        per_combo = best_val.reshape(len(combos), k).mean(axis=1)
+        out = vmapped_grid_fit(
+            model,
+            self.dataset,
+            start_params=model.params,
+            start_stats=model.batch_stats,
+            lrs=lrs,
+            seeds=np.arange(self.seed, self.seed + T),
+            train_idx=np.tile(fold_train, (len(combos), 1)),
+            val_idx=np.tile(fold_val, (len(combos), 1)),
+            masks=masks,
+            batch_size=min(32, fold_train.shape[1]),
+            max_epochs=self.max_epochs,
+            early_stop_patience=self.early_stop_patience,
+        )
+        per_combo = out["best_val_loss"].reshape(len(combos), k).mean(axis=1)
         for (lr, freeze), avg in zip(combos, per_combo):
             print(
                 f"[INFO] finetune lr={lr:.2g} freeze={freeze}: "
