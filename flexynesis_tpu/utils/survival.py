@@ -172,19 +172,21 @@ class CoxPH:
         grad = jax.grad(f)
         hess = jax.hessian(f)
 
+        @jax.jit
+        def newton_step(beta):
+            g = grad(beta)
+            H = hess(beta) + 1e-9 * jnp.eye(len(feats), dtype=X.dtype)
+            return beta - jnp.linalg.solve(H, g)
+
         beta = jnp.zeros(len(feats), X.dtype)
         for _ in range(self.max_iter):
-            g = grad(beta)
-            H = hess(beta)
-            H = H + 1e-9 * jnp.eye(len(feats), dtype=X.dtype)
-            step = jnp.linalg.solve(H, g)
-            new_beta = beta - step
+            new_beta = newton_step(beta)
             if float(jnp.max(jnp.abs(new_beta - beta))) < self.tol:
                 beta = new_beta
                 break
             beta = new_beta
 
-        H = np.asarray(hess(beta))
+        H = np.asarray(jax.jit(hess)(beta))
         cov = np.linalg.inv(H + 1e-9 * np.eye(len(feats)))
         beta_n = np.asarray(beta)
         # un-standardize coefficients
