@@ -162,3 +162,48 @@ class TestCoexpression:
         pairs = set(map(tuple, net[["GeneA", "GeneB"]].values))
         assert ("g1", "g2") in pairs or ("g2", "g1") in pairs
         assert not any("g3" in p for p in pairs)
+
+
+class TestBaselines:
+    @pytest.fixture(scope="class")
+    def split(self, tmp_path_factory):
+        from flexynesis_tpu.data.importer import DataImporter
+        from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+        p = tmp_path_factory.mktemp("bl")
+        write_synthetic_folder(str(p), n_train=80, n_test=40, seed=15)
+        imp = DataImporter(str(p), ["gex"], top_percentile=50, min_features=20)
+        return imp.import_data()
+
+    def test_survival_baseline(self, split):
+        from flexynesis_tpu.utils.baselines import (
+            evaluate_baseline_survival_performance,
+        )
+
+        train, test = split
+        stats, preds = evaluate_baseline_survival_performance(
+            train, test, "OS_MONTHS", "OS_STATUS", n_folds=3, n_jobs=2
+        )
+        assert stats.iloc[0]["metric"] == "cindex"
+        assert 0.0 <= stats.iloc[0]["value"] <= 1.0
+        assert (preds["method"] == "RandomSurvivalForest").all()
+
+    def test_classifier_baseline_with_pca(self, split):
+        from flexynesis_tpu.utils.baselines import evaluate_baseline_performance
+
+        train, test = split
+        stats, preds = evaluate_baseline_performance(
+            train, test, "subtype", ["RandomForest"],
+            n_folds=3, n_jobs=2, use_pca=True, n_components=10,
+        )
+        acc = stats.query("metric=='balanced_acc'")["value"].iloc[0]
+        assert acc > 0.8  # synthetic signal is easy
+
+    def test_regression_baseline(self, split):
+        from flexynesis_tpu.utils.baselines import evaluate_baseline_performance
+
+        train, test = split
+        stats, _ = evaluate_baseline_performance(
+            train, test, "age", ["SVM"], n_folds=3, n_jobs=2
+        )
+        assert (stats["method"] == "SVMRegressor").all()
