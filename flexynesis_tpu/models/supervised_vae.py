@@ -138,9 +138,12 @@ class SupervisedVAE(BaseModel):
         """Per-layer MMD + recon-MSE, averaged (supervised_vae.py:308-317)."""
         if rng is None:
             rng = jax.random.key(0)
+        loss_impl = mmd_loss
+        if self.config.get("fused_kernels"):
+            from ..ops.pallas.mmd_kernel import mmd_loss_pallas as loss_impl
         keys = jax.random.split(rng, len(self.layers))
         terms = [
-            mmd_loss(k, out["embeddings"], out["x_hat"][ln], batch["x"][ln])
+            loss_impl(k, out["embeddings"], out["x_hat"][ln], batch["x"][ln])
             for k, ln in zip(keys, self.layers)
         ]
         return {"mmd_loss": jnp.mean(jnp.stack(terms))}

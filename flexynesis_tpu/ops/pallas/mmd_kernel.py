@@ -79,10 +79,59 @@ def gaussian_kernel_mean(x: jnp.ndarray, y: jnp.ndarray,
     return total[0, 0] / (n * m)
 
 
-def compute_mmd_pallas(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """MMD(x, y) with all three kernel means fused on device."""
-    return (
-        gaussian_kernel_mean(x, x)
-        + gaussian_kernel_mean(y, y)
-        - 2.0 * gaussian_kernel_mean(x, y)
+@jax.custom_vjp
+def gaussian_kernel_mean_diff(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable wrapper around the fused kernel-mean reduction.
+
+    Forward runs the exact Pallas kernel; backward is closed-form:
+    with K_ij = exp(-||x_i - y_j||^2 / d^2), m = mean(K),
+      dm/dx_i = (-2 / (N M d^2)) (x_i * rowsum(K)_i - (K y)_i)
+    computed via two MXU matmuls (no (N, M, d) tensor materialized).
+    """
+    return gaussian_kernel_mean(x, y)
+
+
+def _kmd_fwd(x, y):
+    return gaussian_kernel_mean(x, y), (x, y)
+
+
+def _kmd_bwd(res, g):
+    x, y = res
+    n, d = x.shape
+    m = y.shape[0]
+    x2 = jnp.sum(jnp.square(x), axis=1, keepdims=True)
+    y2 = jnp.sum(jnp.square(y), axis=1, keepdims=True).T
+    sq = jnp.maximum(
+        x2 + y2 - 2.0 * jnp.dot(x, y.T, preferred_element_type=jnp.float32), 0.0
     )
+    K = jnp.exp(-sq / (d * float(d)))
+    coef = g * (-2.0 / (n * m * d * float(d)))
+    row = jnp.sum(K, axis=1, keepdims=True)
+    col = jnp.sum(K, axis=0, keepdims=True).T
+    dx = coef * (x * row - jnp.dot(K, y, preferred_element_type=jnp.float32))
+    dy = coef * (y * col - jnp.dot(K.T, x, preferred_element_type=jnp.float32))
+    return dx, dy
+
+
+gaussian_kernel_mean_diff.defvjp(_kmd_fwd, _kmd_bwd)
+
+
+def compute_mmd_pallas(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """MMD(x, y) with all three kernel means fused on device (differentiable)."""
+    return (
+        gaussian_kernel_mean_diff(x, x)
+        + gaussian_kernel_mean_diff(y, y)
+        - 2.0 * gaussian_kernel_mean_diff(x, y)
+    )
+
+
+def mmd_loss_pallas(
+    key: jax.Array,
+    z: jnp.ndarray,
+    x_hat: jnp.ndarray,
+    x: jnp.ndarray,
+    n_prior_samples: int = 200,
+) -> jnp.ndarray:
+    """Pallas-backed drop-in for ops.losses.mmd_loss (VAE training path)."""
+    true_samples = jax.random.normal(key, (n_prior_samples, z.shape[-1]), z.dtype)
+    return compute_mmd_pallas(true_samples, z) + jnp.mean(jnp.square(x_hat - x))

@@ -145,3 +145,38 @@ class TestFusedMLPModel:
         assert res.val_loss < res.history["val_loss"][0]
         preds = model.predict(test_ds)
         assert np.isfinite(preds["subtype"]).all()
+
+
+class TestDifferentiableMMD:
+    def test_gradient_matches_xla_mmd(self, rng):
+        from flexynesis_tpu.ops.losses import compute_mmd
+        from flexynesis_tpu.ops.pallas.mmd_kernel import compute_mmd_pallas
+
+        x = jnp.array(rng.normal(size=(24, 8)).astype(np.float32))
+        y = jnp.array(rng.normal(size=(16, 8)).astype(np.float32))
+        g_pallas = jax.grad(lambda z: compute_mmd_pallas(x, z))(y)
+        g_xla = jax.grad(lambda z: compute_mmd(x, z))(y)
+        np.testing.assert_allclose(
+            np.asarray(g_pallas), np.asarray(g_xla), rtol=5e-3, atol=1e-5
+        )
+
+    def test_vae_trains_with_pallas_mmd(self, rng):
+        import tempfile
+
+        from flexynesis_tpu.data.importer import DataImporter
+        from flexynesis_tpu.models.supervised_vae import SupervisedVAE
+        from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+        with tempfile.TemporaryDirectory() as p:
+            write_synthetic_folder(p, n_train=60, n_test=30, seed=33)
+            imp = DataImporter(p, ["gex"], top_percentile=50, min_features=10)
+            train_ds, _ = imp.import_data()
+        cfg = {
+            "latent_dim": 8, "hidden_dim_factor": 0.3, "lr": 0.01,
+            "supervisor_hidden_dim": 8, "epochs": 8, "batch_size": 32,
+            "fused_kernels": True,
+        }
+        model = SupervisedVAE(cfg, train_ds, target_variables=["subtype"])
+        res = model.fit(train_ds, np.arange(48), np.arange(48, 60),
+                        lr=0.01, batch_size=32, max_epochs=8)
+        assert np.isfinite(res.val_loss)
