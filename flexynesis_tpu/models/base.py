@@ -236,9 +236,25 @@ class BaseModel:
 
     # ----------------------------------------------------------- inference API
 
+    # cohorts above this size run eval forward in chunks to bound HBM use
+    EVAL_CHUNK = 8192
+
     def _forward_eval(self, x: Dict[str, jnp.ndarray]):
-        out, _ = self._apply(self.params, self.batch_stats, x, None, False)
-        return out
+        n = next(iter(x.values())).shape[0]
+        if n <= self.EVAL_CHUNK:
+            out, _ = self._apply(self.params, self.batch_stats, x, None, False)
+            return out
+        outs = []
+        for start in range(0, n, self.EVAL_CHUNK):
+            chunk = {k: v[start : start + self.EVAL_CHUNK] for k, v in x.items()}
+            out, _ = self._apply(self.params, self.batch_stats, chunk, None, False)
+            outs.append(out)
+        return jax.tree.map(
+            lambda *parts: jnp.concatenate(parts, axis=0)
+            if hasattr(parts[0], "ndim") and parts[0].ndim > 0
+            else parts[0],
+            *outs,
+        )
 
     def make_eval_x(self, dataset: MultiOmicDataset) -> Dict[str, jnp.ndarray]:
         """Plain {layer: matrix} inputs for predict/transform/attribution."""

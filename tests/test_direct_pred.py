@@ -125,3 +125,14 @@ class TestDirectPredE2E:
         stats = evaluate_wrapper("DirectPred", preds, test_ds)
         r = stats.query("metric=='pearson_corr'")["value"].iloc[0]
         assert r > 0.3
+
+
+class TestChunkedEval:
+    def test_chunked_forward_matches_full(self, datasets):
+        train_ds, test_ds = datasets
+        model = DirectPred(CONFIG, train_ds, target_variables=["subtype"])
+        model.init_params(train_ds)
+        full = model.predict(test_ds)["subtype"]
+        model.EVAL_CHUNK = 16  # force chunking
+        chunked = model.predict(test_ds)["subtype"]
+        np.testing.assert_allclose(full, chunked, rtol=1e-5, atol=1e-6)
