@@ -35,6 +35,7 @@ class GNNNet(nn.Module):
     num_convs: int
     conv_type: str
     activation: str
+    readout: str
     supervisor_hidden_dim: int
     output_dims: Dict[str, int]
     use_loss_weighting: bool = True
@@ -47,6 +48,7 @@ class GNNNet(nn.Module):
             num_convs=self.num_convs,
             conv_type=self.conv_type,
             activation=self.activation,
+            readout=self.readout,
             name="encoder",
         )
         self.heads = {
@@ -118,6 +120,7 @@ class GNN(BaseModel):
             supervisor_hidden_dim=int(self.config["supervisor_hidden_dim"]),
             output_dims=dict(self.output_dims),
             use_loss_weighting=self.use_loss_weighting,
+            readout=str(self.config.get("gnn_readout", "flatten")),
         )
 
     def init_params(self, dataset, seed: int = 42):

@@ -137,6 +137,11 @@ class FlexGCN(nn.Module):
     conv_type: str = "GC"
     activation: str = "relu"
     dropout_rate: float = 0.2
+    # 'flatten' reproduces the reference's all-nodes FC head
+    # (modules.py:250); 'mean' pools nodes first — O(E) instead of
+    # O(nodes * E) head parameters, the escape hatch for large graphs
+    # (SURVEY.md §7.3 GNN-memory note)
+    readout: str = "flatten"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray, *, train: bool):
@@ -153,8 +158,12 @@ class FlexGCN(nn.Module):
             )(x)
             x = act(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = x.reshape(x.shape[0], -1)
-        fan_in = self.n_nodes * self.node_embedding_dim
+        if self.readout == "mean":
+            x = jnp.mean(x, axis=1)
+            fan_in = self.node_embedding_dim
+        else:
+            x = x.reshape(x.shape[0], -1)
+            fan_in = self.n_nodes * self.node_embedding_dim
         return nn.Dense(
             self.output_dim,
             kernel_init=torch_linear_kernel_init,

@@ -159,3 +159,17 @@ class TestGNN:
         assert set(df["layer"]) == {"gex", "cnv"}
         per_layer = df.groupby("layer")["name"].count()
         assert (per_layer == len(nw.node_names) * model.output_dims["subtype"]).all()
+
+
+class TestGNNReadout:
+    def test_mean_pool_readout(self, datasets):
+        train_ds, _ = datasets
+        nw = _make_nw(train_ds)
+        cfg = dict(CFG, node_embedding_dim=4, num_convs=1,
+                   activation="relu", gnn_readout="mean")
+        model = GNN(cfg, nw, target_variables=["subtype"])
+        res = _train(model, nw, epochs=10)
+        assert np.isfinite(res.val_loss)
+        # pooled head: fc fan-in is the embedding dim, not nodes * dim
+        fc = model.params["encoder"]["fc"]["kernel"]
+        assert fc.shape[0] == 4
