@@ -167,6 +167,44 @@ class Trainer:
             self._build()
         rng = rng if rng is not None else jax.random.key(0)
 
+        if self.mesh is not None:
+            # data-parallel layout: sample axes sharded over the 'data' mesh
+            # axis, parameters replicated — XLA inserts the gradient psum
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+
+            n_dev = self.mesh.shape["data"]
+
+            def shard_rows(tree):
+                # shard only sample axes divisible by the mesh; replicate rest
+                return jax.tree.map(
+                    lambda a: jax.device_put(
+                        a,
+                        shard
+                        if hasattr(a, "ndim")
+                        and a.ndim >= 1
+                        and a.shape[0] % n_dev == 0
+                        else repl,
+                    ),
+                    tree,
+                )
+
+            train_data = {
+                k: (v if k.startswith("_") else shard_rows(v))
+                for k, v in train_data.items()
+            }
+            if val_data is not None:
+                val_data = {
+                    k: (v if k.startswith("_") else shard_rows(v))
+                    for k, v in val_data.items()
+                }
+            params = jax.device_put(params, repl)
+            batch_stats = jax.tree.map(
+                lambda a: jax.device_put(a, repl), batch_stats
+            )
+
         batch_size = min(batch_size, n_samples)
         n_batches = max(n_samples // batch_size, 1)
 

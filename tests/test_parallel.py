@@ -89,3 +89,17 @@ class TestParallelTrials:
             max_epochs=500, early_stop_patience=3,
         )
         assert out["epochs_run"] < 500
+
+
+class TestDataParallelTrainer:
+    def test_fit_with_data_mesh(self, train_ds):
+        """Single-model training with the batch sharded over an 8-device mesh."""
+        mesh = get_mesh((("data", 8),))
+        model = DirectPred(CFG, train_ds, target_variables=["subtype"])
+        tr, va = train_val_split(len(train_ds), 0.2)
+        res = model.fit(
+            train_ds, tr, va, lr=0.01, batch_size=32, max_epochs=10,
+            mesh=mesh,
+        )
+        assert np.isfinite(res.val_loss)
+        assert res.val_loss < res.history["val_loss"][0]
