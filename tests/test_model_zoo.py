@@ -173,3 +173,37 @@ class TestGNNReadout:
         # pooled head: fc fan-in is the embedding dim, not nodes * dim
         fc = model.params["encoder"]["fc"]["kernel"]
         assert fc.shape[0] == 4
+
+
+class TestGraphOperators:
+    def test_gcn_normalization_hand_computed(self):
+        """3-node path graph a->b->c: check D^-1/2 (A+I) D^-1/2 entries."""
+        from flexynesis_tpu.ops.graph_conv import build_operator
+
+        edges = np.array([[0, 1], [1, 2]])  # src, dst columns
+        A = build_operator(edges.T, 3, "GCN")
+        # adjacency with self loops: row sums (degrees) = [1, 2, 2] for
+        # in-edges at targets: A[1,0]=1, A[2,1]=1 plus identity
+        deg = np.array([1.0, 2.0, 2.0])
+        expected = np.zeros((3, 3))
+        for i in range(3):
+            expected[i, i] = 1.0 / deg[i]
+        expected[1, 0] = 1.0 / np.sqrt(deg[1] * deg[0])
+        expected[2, 1] = 1.0 / np.sqrt(deg[2] * deg[1])
+        np.testing.assert_allclose(A, expected, rtol=1e-6)
+
+    def test_sage_row_normalized(self):
+        from flexynesis_tpu.ops.graph_conv import build_operator
+
+        edges = np.array([[0, 2], [1, 2]]).T  # two edges into node 2
+        A = build_operator(edges, 3, "SAGE")
+        np.testing.assert_allclose(A[2], [0.5, 0.5, 0.0])
+        # nodes without in-edges aggregate nothing
+        np.testing.assert_allclose(A[0], 0.0)
+
+    def test_gc_raw_adjacency(self):
+        from flexynesis_tpu.ops.graph_conv import build_operator
+
+        edges = np.array([[0, 1]]).T
+        A = build_operator(edges, 2, "GC")
+        np.testing.assert_allclose(A, [[0, 0], [1, 0]])
