@@ -136,3 +136,39 @@ class TestChunkedEval:
         model.EVAL_CHUNK = 16  # force chunking
         chunked = model.predict(test_ds)["subtype"]
         np.testing.assert_allclose(full, chunked, rtol=1e-5, atol=1e-6)
+
+
+class TestVariantConfigs:
+    def test_batch_variables_add_heads(self, datasets):
+        train_ds, _ = datasets
+        model = DirectPred(
+            CONFIG, train_ds, target_variables=["subtype"],
+            batch_variables=["age"],
+        )
+        model.init_params(train_ds)
+        # batch variable gets its own head + log-var (reference
+        # direct_pred.py:50-64)
+        assert "head_age" in model.params
+        assert "log_var_age" in model.params
+        batch = model.make_batch(train_ds, np.arange(32))
+        total, (losses, _) = model.loss_fn(
+            model.params, model.batch_stats, batch, jax.random.key(0), True
+        )
+        assert "age" in losses and "subtype" in losses
+
+    def test_no_loss_weighting(self, datasets):
+        train_ds, _ = datasets
+        model = DirectPred(
+            CONFIG, train_ds, target_variables=["subtype", "age"],
+            use_loss_weighting=False,
+        )
+        model.init_params(train_ds)
+        assert not any(k.startswith("log_var") for k in model.params)
+        batch = model.make_batch(train_ds, np.arange(32))
+        total, (losses, _) = model.loss_fn(
+            model.params, model.batch_stats, batch, jax.random.key(0), True
+        )
+        np.testing.assert_allclose(
+            float(total), float(sum(np.asarray(v) for v in losses.values())),
+            rtol=1e-6,
+        )
