@@ -295,13 +295,23 @@ def _write_eval_outputs(args, model, train_dataset, test_dataset):
             if args.feature_importance_method == "Both"
             else [args.feature_importance_method]
         )
+        # attribution cohort capped at 10k samples with a seeded subsample
+        # (reference __main__.py:1377-1387)
+        attr_dataset = test_dataset
+        if len(test_dataset) > 10000:
+            import numpy as np
+
+            rng = np.random.default_rng(42)
+            idx = rng.choice(len(test_dataset), size=10000, replace=False)
+            attr_dataset = test_dataset.subset(idx)
+            print("[INFO] Capping marker discovery at 10000 subsampled samples")
         for method in methods:
             dfs = []
             for var in model.variables:
                 print(f"[INFO] Computing feature importance ({method}) for {var}")
                 dfs.append(
                     model.compute_feature_importance(
-                        test_dataset, var, method=method, steps_or_samples=25
+                        attr_dataset, var, method=method, steps_or_samples=25
                     )
                 )
             pd.concat(dfs, ignore_index=True).to_csv(
