@@ -220,3 +220,43 @@ class TestCLITrainInfer:
             "--disable_marker_finding",
         ])
         assert rc == 0
+
+
+class TestMoreCLIPaths:
+    def test_rsf_model_class(self, data_path, tmp_path):
+        outdir = str(tmp_path / "rsf")
+        os.makedirs(outdir, exist_ok=True)
+        rc = main([
+            "--data_path", data_path,
+            "--model_class", "RandomSurvivalForest",
+            "--data_types", "gex",
+            "--surv_event_var", "OS_STATUS",
+            "--surv_time_var", "OS_MONTHS",
+            "--outdir", outdir, "--prefix", "job",
+            "--features_top_percentile", "50", "--features_min", "20",
+            "--threads", "2",
+        ])
+        assert rc == 0
+        stats = pd.read_csv(os.path.join(outdir, "job.stats.csv"))
+        assert (stats["method"] == "RandomSurvivalForest").any()
+        assert (stats["metric"] == "cindex").any()
+
+    def test_live_loss_plot_path(self, data_path, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from flexynesis_tpu.data.importer import DataImporter
+        from flexynesis_tpu.models.direct_pred import DirectPred
+        from flexynesis_tpu.train.hpo import HyperparameterTuning
+
+        imp = DataImporter(data_path, ["gex"], top_percentile=50, min_features=20)
+        train_ds, _ = imp.import_data()
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=1, plot_losses=True,
+        )
+        for d in tuner.space.dimensions:
+            if d.name == "epochs":
+                d.categories = [5]
+        model, _ = tuner.perform_tuning()
+        assert model is not None
