@@ -1,0 +1,220 @@
+"""Heterogeneous-architecture HPO trials under one vmap (pad-to-bucket).
+
+SURVEY.md §7.3 "Heterogeneous HPO trials": different latent/hidden dims mean
+different parameter shapes, so plain vmap can't stack them. Solution
+implemented here for the DirectPred family (flagship + MultiTripletNetwork
+backbone):
+
+* build ONE module at the round's maximum dims (latent, per-modality hidden,
+  supervisor hidden);
+* per trial, zero out the padded parameter regions with ELEMENT-wise update
+  masks (vmapped through parallel.trials.vmapped_grid_fit) — zeroed weights,
+  biases and BN scale/bias keep every padded activation identically 0, so
+  the padded network computes exactly the smaller architecture's function;
+* per-trial initializations rescale by sqrt(fan_in_max / fan_in_trial) so
+  each trial starts from the torch-default U(+-1/sqrt(fan_in)) law of ITS
+  OWN architecture, and padded regions start at 0.
+
+Trials in a GP round then train concurrently regardless of sampled dims.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dims_of(config: dict, input_dims: List[int]) -> dict:
+    latent = int(config["latent_dim"])
+    hidden = [
+        max(int(d * float(config["hidden_dim_factor"])), 2) for d in input_dims
+    ]
+    sup = max(int(config["supervisor_hidden_dim"]), 2)
+    return {"latent": latent, "hidden": hidden, "sup": sup}
+
+
+def max_config(configs: List[dict], input_dims: List[int]) -> dict:
+    """Config whose architecture dims dominate every trial in the round."""
+    dims = [_dims_of(c, input_dims) for c in configs]
+    latent_max = max(d["latent"] for d in dims)
+    sup_max = max(d["sup"] for d in dims)
+    # hidden is derived from hidden_dim_factor: take the max factor
+    factor_max = max(float(c["hidden_dim_factor"]) for c in configs)
+    out = dict(configs[0])
+    out["latent_dim"] = latent_max
+    out["hidden_dim_factor"] = factor_max
+    out["supervisor_hidden_dim"] = sup_max
+    return out
+
+
+def _col_mask(n_total: int, n_active: int) -> np.ndarray:
+    m = np.zeros(n_total, np.float32)
+    m[:n_active] = 1.0
+    return m
+
+
+def directpred_trial_mask(
+    template_params,
+    config: dict,
+    layer_names: List[str],
+    input_dims: List[int],
+) -> Tuple[dict, dict]:
+    """(mask, init_scale) pytrees for one trial against the padded template.
+
+    mask leaves are element-wise 0/1 arrays (padded regions frozen at 0);
+    init_scale leaves are scalars rescaling the max-dim init to the trial's
+    own fan-in law.
+    """
+    dims = _dims_of(config, input_dims)
+    tmpl_dims = {
+        ln: template_params[f"encoder_{ln}"]["layer_1"]["kernel"].shape[1]
+        for ln in layer_names
+    }
+    L_max = None
+    for ln in layer_names:
+        L_max = template_params[f"encoder_{ln}"]["layer_out"]["kernel"].shape[1]
+    L_t = dims["latent"]
+    S_t = dims["sup"]
+    n_mod = len(layer_names)
+
+    mask = {}
+    scale = {}
+    for li, ln in enumerate(layer_names):
+        H_max = tmpl_dims[ln]
+        H_t = dims["hidden"][li]
+        h_col = _col_mask(H_max, H_t)
+        l_col = _col_mask(L_max, L_t)
+        enc = template_params[f"encoder_{ln}"]
+        mask[f"encoder_{ln}"] = {
+            "layer_1": {
+                "kernel": np.broadcast_to(
+                    h_col, enc["layer_1"]["kernel"].shape
+                ).copy(),
+                "bias": h_col.copy(),
+            },
+            "batchnorm": {"scale": h_col.copy(), "bias": h_col.copy()},
+            "layer_out": {
+                "kernel": np.outer(h_col, l_col)
+                if enc["layer_out"]["kernel"].shape[1] > 1
+                else h_col[:, None].copy(),
+                **(
+                    {"bias": l_col.copy()}
+                    if "bias" in enc["layer_out"]
+                    else {}
+                ),
+            },
+        }
+        scale[f"encoder_{ln}"] = {
+            "layer_1": {"kernel": 1.0, "bias": 1.0},  # fan_in = input dim
+            "batchnorm": {"scale": 1.0, "bias": 1.0},
+            "layer_out": {
+                "kernel": float(np.sqrt(H_max / H_t)),
+                **(
+                    {"bias": float(np.sqrt(H_max / H_t))}
+                    if "bias" in enc["layer_out"]
+                    else {}
+                ),
+            },
+        }
+
+    if "fusion_block" in template_params:
+        fus = template_params["fusion_block"]
+        in_mask = np.concatenate([_col_mask(L_max, L_t)] * n_mod)
+        out_mask = _col_mask(L_max, L_t)
+        mask["fusion_block"] = {
+            "kernel": np.outer(in_mask, out_mask),
+            "bias": out_mask.copy(),
+        }
+        s = float(np.sqrt((n_mod * L_max) / (n_mod * L_t)))
+        scale["fusion_block"] = {"kernel": s, "bias": s}
+
+    for key, sub in template_params.items():
+        if not key.startswith("head_"):
+            continue
+        n_out = sub["layer_out"]["kernel"].shape[1]
+        s_col = _col_mask(sub["layer_1"]["kernel"].shape[1], S_t)
+        l_col = _col_mask(L_max, L_t)
+        mask[key] = {
+            "layer_1": {
+                "kernel": np.outer(l_col, s_col),
+                "bias": s_col.copy(),
+            },
+            "batchnorm": {"scale": s_col.copy(), "bias": s_col.copy()},
+            "layer_out": {
+                "kernel": np.broadcast_to(
+                    s_col[:, None], sub["layer_out"]["kernel"].shape
+                ).copy(),
+                **({"bias": 1.0} if "bias" in sub["layer_out"] else {}),
+            },
+        }
+        scale[key] = {
+            "layer_1": {
+                "kernel": float(np.sqrt(L_max / L_t)),
+                "bias": float(np.sqrt(L_max / L_t)),
+            },
+            "batchnorm": {"scale": 1.0, "bias": 1.0},
+            "layer_out": {
+                "kernel": float(
+                    np.sqrt(sub["layer_1"]["kernel"].shape[1] / S_t)
+                ),
+                **({"bias": 1.0} if "bias" in sub["layer_out"] else {}),
+            },
+        }
+
+    for key in template_params:
+        if key.startswith("log_var_"):
+            mask[key] = np.ones(1, np.float32)
+            scale[key] = 1.0
+
+    # normalize mask/scale pytrees to exactly match the template structure
+    def conform(m_tree, t_tree):
+        if isinstance(t_tree, dict):
+            return {k: conform(m_tree[k], v) for k, v in t_tree.items()}
+        return m_tree
+
+    return conform(mask, template_params), conform(scale, template_params)
+
+
+def build_padded_trials(model, configs: List[dict], seeds) -> dict:
+    """Stacked per-trial (init params, masks) for a heterogeneous round.
+
+    ``model`` is the template built at max_config dims with initialized
+    params. Returns dict(params=(T,...), masks=(T,...), stats=(T,...)).
+    """
+    from .trials import _init_stacked
+
+    layer_names = model.layers
+    input_dims = model.input_dims
+    params_stacked, stats_stacked = _init_stacked(model, seeds)
+
+    masks, scales = [], []
+    for cfg in configs:
+        m, s = directpred_trial_mask(
+            jax.tree.map(np.asarray, jax.tree.map(lambda a: a[0], params_stacked)),
+            cfg,
+            layer_names,
+            input_dims,
+        )
+        masks.append(m)
+        scales.append(s)
+    masks_stacked = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]), *masks
+    )
+    scales_stacked = jax.tree.map(
+        lambda *xs: jnp.asarray(np.asarray(xs, np.float32)), *scales
+    )
+    # apply mask + init rescale trial-wise: padded regions start (and stay) 0
+    params0 = jax.tree.map(
+        lambda p, m, s: p * m * s.reshape((-1,) + (1,) * (p.ndim - 1)),
+        params_stacked,
+        masks_stacked,
+        scales_stacked,
+    )
+    return {
+        "params": params0,
+        "masks": masks_stacked,
+        "batch_stats": stats_stacked,
+    }

@@ -148,11 +148,16 @@ def vmapped_grid_fit(
         )
 
     if start_params is not None:
-        bcast = lambda tree: jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (T,) + a.shape).copy(), tree
-        )
-        params = bcast(start_params)
-        stats = bcast(start_stats)
+        first = jax.tree_util.tree_leaves(start_params)[0]
+        already_stacked = hasattr(first, "shape") and first.shape[:1] == (T,)
+        if already_stacked:
+            params, stats = start_params, start_stats
+        else:
+            bcast = lambda tree: jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (T,) + a.shape).copy(), tree
+            )
+            params = bcast(start_params)
+            stats = bcast(start_stats)
     else:
         params, stats = _init_stacked(model, seeds)
     opt_state = jax.vmap(tx.init)(params)

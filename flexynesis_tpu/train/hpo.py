@@ -245,19 +245,75 @@ class HyperparameterTuning:
                 return state
         return None
 
-    def _bucket_by_architecture(self, suggestions):
-        """Group suggestions that produce identical program shapes.
+    # model families whose parameters can be padded to a common max shape
+    # (parallel/hetero.py) so even different-dim suggestions stack under vmap
+    PADDABLE_MODELS = ("DirectPred", "MultiTripletNetwork")
 
-        Everything except ``lr`` (a vmapped scalar) must match for trials to
-        stack under vmap: architecture dims, epochs, batch size.
+    def _bucket_by_architecture(self, suggestions):
+        """Group suggestions that can train in one vmapped program.
+
+        For paddable model families only (epochs, batch_size) must match —
+        architecture dims pad to the group's max (parallel/hetero.py). Other
+        models group on full architecture identity, with lr free (a vmapped
+        scalar).
         """
+        paddable = self.model_class.__name__ in self.PADDABLE_MODELS
         buckets: dict = {}
         for params in suggestions:
-            key = tuple(
-                (k, params[k]) for k in sorted(params) if k != "lr"
-            )
+            if paddable:
+                key = (params.get("epochs"), params.get("batch_size"))
+            else:
+                key = tuple(
+                    (k, params[k]) for k in sorted(params) if k != "lr"
+                )
             buckets.setdefault(key, []).append(params)
         return list(buckets.values())
+
+    def _arch_identical(self, group) -> bool:
+        keys = [
+            tuple((k, p[k]) for k in sorted(p) if k != "lr") for p in group
+        ]
+        return len(set(keys)) == 1
+
+    def _run_parallel_group_hetero(self, group):
+        """Mixed-architecture group: pad params to the max dims and train all
+        suggestions as one vmapped program with per-trial element masks."""
+        from ..parallel.hetero import build_padded_trials, max_config
+        from ..parallel.trials import vmapped_grid_fit
+
+        n = self.n_units
+        train_idx, val_idx = train_val_split(n, self.val_size, seed=self.seed)
+        template_cfg = dict(group[0])
+        template_cfg.update(
+            max_config(group, [
+                len(self.dataset.features[k]) for k in self.dataset.dat.keys()
+            ])
+        )
+        template = self.model_class(**self._model_args(template_cfg))
+        seeds = np.arange(self.seed, self.seed + len(group))
+        trials = build_padded_trials(template, group, seeds)
+        print(
+            f"[INFO] Training {len(group)} mixed-architecture trials "
+            "concurrently (padded vmap)"
+        )
+        out = vmapped_grid_fit(
+            template,
+            self.dataset,
+            start_params=trials["params"],
+            start_stats=trials["batch_stats"],
+            lrs=np.asarray([p["lr"] for p in group], np.float32),
+            seeds=seeds,
+            train_idx=np.tile(train_idx, (len(group), 1)),
+            val_idx=np.tile(val_idx, (len(group), 1)),
+            masks=trials["masks"],
+            batch_size=int(group[0]["batch_size"]),
+            max_epochs=int(group[0]["epochs"]),
+            early_stop_patience=self.early_stop_patience,
+        )
+        return [
+            (float(out["best_val_loss"][k]), int(out["best_epoch"][k]), None)
+            for k in range(len(group))
+        ]
 
     def _run_parallel_group(self, group):
         """Train a same-architecture suggestion group via vmapped trials."""
@@ -316,7 +372,10 @@ class HyperparameterTuning:
             for group in self._bucket_by_architecture(suggestions):
                 t0 = time.perf_counter()
                 if len(group) > 1 and not self.use_cv:
-                    results = self._run_parallel_group(group)
+                    if self._arch_identical(group):
+                        results = self._run_parallel_group(group)
+                    else:
+                        results = self._run_parallel_group_hetero(group)
                 else:
                     results = None
                 for gi, params in enumerate(group):

@@ -1,0 +1,199 @@
+"""Heterogeneous-architecture trial padding: the masked max-dim network must
+compute EXACTLY the smaller architecture's function, and mixed-dim rounds
+must train concurrently."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexynesis_tpu.data.dataset import MultiOmicDataset
+from flexynesis_tpu.models.direct_pred import DirectPred
+from flexynesis_tpu.parallel.hetero import (
+    build_padded_trials,
+    directpred_trial_mask,
+    max_config,
+)
+
+
+def make_ds(rng, n=48, gex=40, cnv=20, k=3):
+    cls = rng.integers(0, k, n).astype(np.float32)
+    return MultiOmicDataset(
+        dat={
+            "gex": (rng.normal(size=(n, gex)) + cls[:, None]).astype(np.float32),
+            "cnv": (rng.normal(size=(n, cnv)) + cls[:, None]).astype(np.float32),
+        },
+        ann={"subtype": cls},
+        variable_types={"subtype": "categorical"},
+        features={
+            "gex": [f"g{i}" for i in range(gex)],
+            "cnv": [f"c{i}" for i in range(cnv)],
+        },
+        samples=[f"S{i}" for i in range(n)],
+        label_mappings={"subtype": {i: f"grp{i}" for i in range(k)}},
+    )
+
+
+def small_cfg(**kw):
+    cfg = {
+        "latent_dim": 16, "hidden_dim_factor": 0.3, "lr": 0.01,
+        "supervisor_hidden_dim": 8, "epochs": 10, "batch_size": 16,
+    }
+    cfg.update(kw)
+    return cfg
+
+
+def embed_params(small, template, mask, n_mod=2):
+    """Copy the small architecture's params into the padded template layout.
+
+    The fusion block needs block-wise placement: modality m's latent rows
+    live at [m*L_max, m*L_max + L_small) in the padded concat, not at
+    [m*L_small, ...).
+    """
+
+    def place(s, t, m):
+        out = np.zeros_like(np.asarray(t))
+        s = np.asarray(s)
+        sl = tuple(slice(0, d) for d in s.shape)
+        out[sl] = s
+        return out * np.asarray(m)
+
+    embedded = jax.tree.map(place, small, template, mask)
+    if "fusion_block" in small:
+        k_small = np.asarray(small["fusion_block"]["kernel"])
+        k_t = np.asarray(template["fusion_block"]["kernel"])
+        L_small = k_small.shape[1]
+        L_max = k_t.shape[1]
+        out = np.zeros_like(k_t)
+        for m in range(n_mod):
+            out[m * L_max : m * L_max + L_small, :L_small] = k_small[
+                m * L_small : (m + 1) * L_small
+            ]
+        embedded["fusion_block"]["kernel"] = out * np.asarray(
+            mask["fusion_block"]["kernel"]
+        )
+    return embedded
+
+
+class TestPaddedEquivalence:
+    def test_masked_padded_forward_equals_exact(self, rng):
+        ds = make_ds(rng)
+        cfg_small = small_cfg()
+        cfg_big = small_cfg(latent_dim=32, hidden_dim_factor=0.5,
+                            supervisor_hidden_dim=16)
+
+        exact = DirectPred(cfg_small, ds, target_variables=["subtype"])
+        exact.init_params(ds, seed=7)
+        padded = DirectPred(cfg_big, ds, target_variables=["subtype"])
+        padded.init_params(ds, seed=7)
+
+        mask, _ = directpred_trial_mask(
+            jax.tree.map(np.asarray, padded.params),
+            cfg_small, exact.layers, exact.input_dims,
+        )
+        # structures line up leaf-for-leaf
+        assert jax.tree_util.tree_structure(mask) == jax.tree_util.tree_structure(
+            jax.tree.map(np.asarray, padded.params)
+        )
+
+        padded.params = embed_params(exact.params, padded.params, mask)
+        x = exact.make_eval_x(ds)
+        out_exact = exact._forward_eval(x)["outputs"]["subtype"]
+        out_padded = padded._forward_eval(x)["outputs"]["subtype"]
+        np.testing.assert_allclose(
+            np.asarray(out_exact), np.asarray(out_padded), rtol=1e-5, atol=1e-6
+        )
+
+    def test_masked_gradients_stay_in_active_region(self, rng):
+        ds = make_ds(rng)
+        cfg_small = small_cfg()
+        cfg_big = small_cfg(latent_dim=32, supervisor_hidden_dim=16)
+        padded = DirectPred(cfg_big, ds, target_variables=["subtype"])
+        padded.init_params(ds, seed=3)
+        mask, _ = directpred_trial_mask(
+            jax.tree.map(np.asarray, padded.params),
+            cfg_small, padded.layers, padded.input_dims,
+        )
+        padded.params = jax.tree.map(
+            lambda p, m: p * jnp.asarray(m), padded.params, mask
+        )
+        batch = padded.make_batch(ds, np.arange(16))
+        grads = jax.grad(
+            lambda p: padded.loss_fn(p, padded.batch_stats, batch,
+                                     jax.random.key(0), True)[0]
+        )(padded.params)
+        # masked updates (grad * mask) leave padded regions untouched;
+        # with zeroed padded params the forward is exactly the small net
+        masked = jax.tree.map(lambda g, m: np.asarray(g) * (1 - np.asarray(m)),
+                              grads, mask)
+        # padded-region activations are zero, so their grads must not leak
+        # into ACTIVE-region outputs: verify loss only depends on active dims
+        # by perturbing a padded weight and recomputing
+        p2 = jax.tree.map(lambda a: a, padded.params)
+        k = np.array(p2["encoder_gex"]["layer_out"]["kernel"], copy=True)
+        k[:, -1] = 99.0  # padded latent column (latent 16 -> 32 here)
+        p2["encoder_gex"]["layer_out"]["kernel"] = jnp.asarray(
+            k * np.asarray(mask["encoder_gex"]["layer_out"]["kernel"])
+        )
+        l1 = float(padded.loss_fn(padded.params, padded.batch_stats, batch,
+                                  jax.random.key(0), True)[0])
+        l2 = float(padded.loss_fn(p2, padded.batch_stats, batch,
+                                  jax.random.key(0), True)[0])
+        assert abs(l1 - l2) < 1e-6
+
+    def test_hetero_round_trains_concurrently(self, rng):
+        from flexynesis_tpu.parallel.trials import vmapped_grid_fit
+
+        ds = make_ds(rng, n=64)
+        configs = [
+            small_cfg(latent_dim=16, supervisor_hidden_dim=8, lr=0.01),
+            small_cfg(latent_dim=32, supervisor_hidden_dim=16, lr=0.005),
+            small_cfg(latent_dim=16, hidden_dim_factor=0.5, lr=0.02),
+        ]
+        template_cfg = max_config(configs, [40, 20])
+        model = DirectPred(template_cfg, ds, target_variables=["subtype"])
+        trials = build_padded_trials(model, configs, seeds=np.arange(3))
+
+        tr = np.tile(np.arange(48), (3, 1))
+        va = np.tile(np.arange(48, 64), (3, 1))
+        out = vmapped_grid_fit(
+            model, ds,
+            start_params=trials["params"],
+            start_stats=trials["batch_stats"],
+            lrs=np.asarray([c["lr"] for c in configs], np.float32),
+            seeds=np.arange(3),
+            train_idx=tr, val_idx=va,
+            masks=trials["masks"],
+            batch_size=16, max_epochs=12,
+        )
+        assert np.all(np.isfinite(out["best_val_loss"]))
+        assert out["best_val_loss"].shape == (3,)
+        # every trial learns (synthetic signal is easy)
+        assert np.all(out["best_val_loss"] < 1.2)
+
+
+class TestHeteroHPO:
+    def test_mixed_arch_hpo_round(self, rng, tmp_path):
+        from flexynesis_tpu.data.importer import DataImporter
+        from flexynesis_tpu.train.hpo import HyperparameterTuning
+        from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+        p = tmp_path / "h"
+        write_synthetic_folder(str(p), n_train=80, n_test=40, seed=19)
+        imp = DataImporter(str(p), ["gex"], top_percentile=50, min_features=20)
+        train_ds, _ = imp.import_data()
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=4, batch_ask=4,
+            early_stop_patience=3,
+        )
+        for d in tuner.space.dimensions:
+            if d.name == "epochs":
+                d.categories = [8]
+            if d.name == "batch_size":
+                d.categories = [32]
+        # random initial points sample DIFFERENT latent/hidden dims -> the
+        # whole round must go through the padded-vmap path
+        model, best = tuner.perform_tuning()
+        assert model is not None and model.params is not None
+        assert np.isfinite(best["lr"])

@@ -177,9 +177,13 @@ class TestParallelHPO:
              "supervisor_hidden_dim": 8, "epochs": 10, "batch_size": 32}
         b = dict(a, lr=5e-3)
         c = dict(a, latent_dim=32)
-        groups = tuner._bucket_by_architecture([a, b, c])
+        d = dict(a, epochs=20)
+        # DirectPred is paddable: different dims share a bucket as long as
+        # (epochs, batch_size) match; different epochs split
+        groups = tuner._bucket_by_architecture([a, b, c, d])
         sizes = sorted(len(g) for g in groups)
-        assert sizes == [1, 2]
+        assert sizes == [1, 3]
+        assert tuner._arch_identical([a, b]) and not tuner._arch_identical([a, c])
 
 
 class TestParallelCV:
