@@ -260,3 +260,27 @@ class TestMoreCLIPaths:
                 d.categories = [5]
         model, _ = tuner.perform_tuning()
         assert model is not None
+
+    def test_supervised_vae_multi_target(self, data_path, tmp_path):
+        """Mirrors models-template.yml:77-81 (VAE, two target variables)."""
+        outdir = str(tmp_path / "vae")
+        _write_small_space(outdir, "supervised_vae")
+        rc = _run(data_path, outdir, [
+            "--model_class", "supervised_vae",
+            "--data_types", "gex",
+            "--target_variables", "subtype,age",
+            "--disable_marker_finding",
+            "--safetensors",
+        ])
+        assert rc == 0
+        stats = pd.read_csv(os.path.join(outdir, "job.stats.csv"))
+        assert set(stats["var"]) == {"subtype", "age"}
+        # reload in inference mode
+        rc = main([
+            "--pretrained_model", os.path.join(outdir, "job.final_model.safetensors"),
+            "--artifacts", os.path.join(outdir, "job.artifacts.json"),
+            "--data_path_test", os.path.join(data_path, "test"),
+            "--outdir", os.path.join(outdir, "inf"), "--prefix", "inf",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
