@@ -284,3 +284,70 @@ class TestMoreCLIPaths:
             "--disable_marker_finding",
         ])
         assert rc == 0
+
+    def test_h5_autodetect_cli(self, data_path, tmp_path):
+        """Mirrors the reference CI HDF5 case (models-template.yml:102-105)."""
+        import shutil
+
+        from flexynesis_tpu.csv_to_h5 import convert_csv_to_h5
+
+        d2 = str(tmp_path / "h5data")
+        shutil.copytree(data_path, d2)
+        for split in ("train", "test"):
+            convert_csv_to_h5(
+                os.path.join(d2, split, "gex.csv"),
+                os.path.join(d2, split, "gex.h5"),
+            )
+            os.remove(os.path.join(d2, split, "gex.csv"))
+        outdir = str(tmp_path / "h5out")
+        _write_small_space(outdir, "DirectPred")
+        rc = _run(d2, outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+
+    def test_restrict_and_subsample(self, data_path, tmp_path):
+        outdir = str(tmp_path / "rs")
+        _write_small_space(outdir, "DirectPred")
+        feats = tmp_path / "features.txt"
+        feats.write_text("\n".join(f"gex_f{i}" for i in range(120)))
+        rc = _run(data_path, outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--restrict_to_features", str(feats),
+            "--subsample", "50",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+        emb = pd.read_csv(os.path.join(outdir, "job.embeddings_train.csv"),
+                          index_col=0)
+        assert len(emb) == 50  # subsampled training cohort
+
+    def test_log_transform_flag(self, tmp_path):
+        import numpy as np
+
+        from flexynesis_tpu.utils.synthetic import make_synthetic_frames
+
+        # log1p needs non-negative matrices (count-like data)
+        frames = make_synthetic_frames(n_train=60, n_test=30, seed=23)
+        d = tmp_path / "counts"
+        for split, tables in frames.items():
+            os.makedirs(d / split, exist_ok=True)
+            for name, df in tables.items():
+                if name != "clin":
+                    df = df.abs() * 10
+                df.to_csv(d / split / f"{name}.csv")
+        outdir = str(tmp_path / "logout")
+        _write_small_space(outdir, "DirectPred")
+        rc = _run(str(d), outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--log_transform", "True",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
