@@ -248,3 +248,70 @@ class TestVAEBlockParity:
         np.testing.assert_allclose(
             np.asarray(xhat_f), xhat_t.numpy(), rtol=1e-4, atol=1e-5
         )
+
+
+class TestIGParity:
+    def test_integrated_gradients_matches_torch_autograd(self, rng):
+        """IG with Gauss-Legendre nodes (captum's default quadrature) computed
+        through torch autograd on a weight-copied replica must match the JAX
+        attribution engine."""
+        from flexynesis_tpu.interpret.attribution import (
+            _gauss_legendre,
+            integrated_gradients,
+        )
+
+        ds = make_ds(rng, n=12)
+        cfg = {
+            "latent_dim": 16, "hidden_dim_factor": 0.4, "lr": 1e-3,
+            "supervisor_hidden_dim": 8, "epochs": 3, "batch_size": 8,
+        }
+        model = DirectPred(cfg, ds, target_variables=["subtype"])
+        model.fit(ds, np.arange(9), np.arange(9, 12), lr=1e-3,
+                  batch_size=8, max_epochs=2)
+        p, s = model.params, model.batch_stats
+
+        # torch replica with copied weights (eval mode)
+        enc_gex = TorchMLP(50, int(50 * 0.4), 16)
+        enc_cnv = TorchMLP(30, int(30 * 0.4), 16)
+        copy_mlp(enc_gex, p["encoder_gex"], s["encoder_gex"])
+        copy_mlp(enc_cnv, p["encoder_cnv"], s["encoder_cnv"])
+        fusion = nn.Linear(32, 16)
+        with torch.no_grad():
+            fusion.weight.copy_(torch.tensor(np.asarray(p["fusion_block"]["kernel"]).T))
+            fusion.bias.copy_(torch.tensor(np.asarray(p["fusion_block"]["bias"])))
+        head = TorchMLP(16, 8, model.output_dims["subtype"])
+        copy_mlp(head, p["head_subtype"], s["head_subtype"])
+        for m in (enc_gex, enc_cnv, fusion, head):
+            m.eval()
+
+        def torch_forward(a, b):
+            return head(fusion(torch.cat([enc_gex(a), enc_cnv(b)], dim=1)))
+
+        target_class = 1
+        n_steps = 8
+        alphas, weights = _gauss_legendre(n_steps)
+        xg = torch.tensor(ds.dat["gex"])
+        xc = torch.tensor(ds.dat["cnv"])
+        acc_g = torch.zeros_like(xg)
+        acc_c = torch.zeros_like(xc)
+        for a_k, w_k in zip(alphas, weights):
+            ag = (float(a_k) * xg).clone().requires_grad_(True)
+            ac = (float(a_k) * xc).clone().requires_grad_(True)
+            out = torch_forward(ag, ac)[:, target_class].sum()
+            gg, gc = torch.autograd.grad(out, (ag, ac))
+            acc_g += float(w_k) * gg
+            acc_c += float(w_k) * gc
+        torch_attr_g = (xg * acc_g).detach().numpy()
+        torch_attr_c = (xc * acc_c).detach().numpy()
+
+        def forward(x):
+            return model._attribution_forward(p, s, x, "subtype")
+
+        x = model.make_eval_x(ds)
+        ours = integrated_gradients(forward, x, target_class, n_steps, False)
+        np.testing.assert_allclose(
+            np.asarray(ours["gex"]), torch_attr_g, rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["cnv"]), torch_attr_c, rtol=1e-3, atol=1e-5
+        )
