@@ -351,3 +351,39 @@ class TestMoreCLIPaths:
             "--disable_marker_finding",
         ])
         assert rc == 0
+
+
+class TestCLIValidation:
+    def _expect_error(self, args):
+        with pytest.raises(SystemExit):
+            main(args)
+
+    def test_missing_training_args(self):
+        self._expect_error(["--model_class", "DirectPred"])
+
+    def test_surv_vars_must_pair(self, data_path):
+        self._expect_error([
+            "--data_path", data_path, "--model_class", "DirectPred",
+            "--data_types", "gex", "--target_variables", "subtype",
+            "--surv_event_var", "OS_STATUS",
+        ])
+
+    def test_targets_required_for_deep_models(self, data_path):
+        self._expect_error([
+            "--data_path", data_path, "--model_class", "DirectPred",
+            "--data_types", "gex",
+        ])
+
+    def test_early_fusion_rejected_for_crossmodal(self, data_path):
+        self._expect_error([
+            "--data_path", data_path, "--model_class", "CrossModalPred",
+            "--data_types", "gex,cnv", "--target_variables", "subtype",
+            "--fusion_type", "early",
+        ])
+
+    def test_covariates_rejected_for_gnn(self, data_path):
+        self._expect_error([
+            "--data_path", data_path, "--model_class", "GNN",
+            "--data_types", "gex", "--target_variables", "subtype",
+            "--covariates", "age",
+        ])
