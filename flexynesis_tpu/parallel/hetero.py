@@ -147,7 +147,11 @@ def directpred_trial_mask(
                 "kernel": np.broadcast_to(
                     s_col[:, None], sub["layer_out"]["kernel"].shape
                 ).copy(),
-                **({"bias": 1.0} if "bias" in sub["layer_out"] else {}),
+                **(
+                    {"bias": np.ones(n_out, np.float32)}
+                    if "bias" in sub["layer_out"]
+                    else {}
+                ),
             },
         }
         scale[key] = {
