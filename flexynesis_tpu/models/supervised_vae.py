@@ -138,10 +138,24 @@ class SupervisedVAE(BaseModel):
         """Per-layer MMD + recon-MSE, averaged (supervised_vae.py:308-317)."""
         if rng is None:
             rng = jax.random.key(0)
+        keys = jax.random.split(rng, len(self.layers))
+        aux = batch.get("_aux")
+        if aux is not None:
+            # heterogeneous-trial padding: restrict the MMD to the trial's
+            # active latent dims (exact small-architecture loss)
+            from ..ops.losses import masked_mmd_loss
+
+            terms = [
+                masked_mmd_loss(
+                    k, out["embeddings"], out["x_hat"][ln], batch["x"][ln],
+                    aux["latent_mask"], aux["latent_dim"],
+                )
+                for k, ln in zip(keys, self.layers)
+            ]
+            return {"mmd_loss": jnp.mean(jnp.stack(terms))}
         loss_impl = mmd_loss
         if self.config.get("fused_kernels"):
             from ..ops.pallas.mmd_kernel import mmd_loss_pallas as loss_impl
-        keys = jax.random.split(rng, len(self.layers))
         terms = [
             loss_impl(k, out["embeddings"], out["x_hat"][ln], batch["x"][ln])
             for k, ln in zip(keys, self.layers)

@@ -137,6 +137,46 @@ def mmd_loss(
     return compute_mmd(true_samples, z) + jnp.mean(jnp.square(x_hat - x))
 
 
+def masked_mmd_loss(
+    key: jax.Array,
+    z: jnp.ndarray,
+    x_hat: jnp.ndarray,
+    x: jnp.ndarray,
+    latent_mask: jnp.ndarray,
+    latent_dim: jnp.ndarray,
+    n_prior_samples: int = 200,
+) -> jnp.ndarray:
+    """MMD + recon loss restricted to the first ``latent_dim`` latent dims.
+
+    Used by heterogeneous-trial padding (parallel/hetero.py): a padded VAE
+    carries zeros in latent dims >= latent_dim; masking the prior draws and
+    dividing the kernel by the TRIAL's latent_dim^2 makes this loss exactly
+    the smaller architecture's mmd_loss.
+    """
+    true_samples = (
+        jax.random.normal(key, (n_prior_samples, z.shape[-1]), z.dtype)
+        * latent_mask
+    )
+    zm = z * latent_mask
+    d2 = latent_dim.astype(jnp.float32) ** 2
+
+    def kmean(a, b):
+        a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)
+        b2 = jnp.sum(jnp.square(b), axis=-1, keepdims=True).T
+        sq = jnp.maximum(
+            a2 + b2 - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32),
+            0.0,
+        )
+        return jnp.mean(jnp.exp(-sq / d2))
+
+    mmd = (
+        kmean(true_samples, true_samples)
+        + kmean(zm, zm)
+        - 2.0 * kmean(true_samples, zm)
+    )
+    return mmd + jnp.mean(jnp.square(x_hat - x))
+
+
 def triplet_margin_loss(
     anchor: jnp.ndarray,
     positive: jnp.ndarray,

@@ -182,6 +182,138 @@ def directpred_trial_mask(
     return conform(mask, template_params), conform(scale, template_params)
 
 
+def supervised_vae_trial_mask(
+    template_params,
+    config: dict,
+    layer_names: List[str],
+    input_dims: List[int],
+) -> Tuple[dict, dict]:
+    """(mask, init_scale) pytrees for a supervised_vae trial."""
+    dims = _dims_of(config, input_dims)
+    L_max = template_params["FC_mean"]["kernel"].shape[1]
+    H_max = {
+        ln: template_params[f"encoder_{ln}"]["hidden_layers"]["dense_0"][
+            "kernel"
+        ].shape[1]
+        for ln in layer_names
+    }
+    L_t, S_t = dims["latent"], dims["sup"]
+    n_mod = len(layer_names)
+    l_col = _col_mask(L_max, L_t)
+
+    mask, scale = {}, {}
+    for li, ln in enumerate(layer_names):
+        Hm, Ht = H_max[ln], dims["hidden"][li]
+        h_col = _col_mask(Hm, Ht)
+        enc = template_params[f"encoder_{ln}"]
+        mask[f"encoder_{ln}"] = {
+            "hidden_layers": {
+                "dense_0": {
+                    "kernel": np.broadcast_to(
+                        h_col, enc["hidden_layers"]["dense_0"]["kernel"].shape
+                    ).copy(),
+                    "bias": h_col.copy(),
+                },
+                "bn_0": {"scale": h_col.copy(), "bias": h_col.copy()},
+            },
+            "FC_mean": {"kernel": np.outer(h_col, l_col), "bias": l_col.copy()},
+            "FC_var": {"kernel": np.outer(h_col, l_col), "bias": l_col.copy()},
+        }
+        s_h = float(np.sqrt(Hm / Ht))
+        scale[f"encoder_{ln}"] = {
+            "hidden_layers": {
+                "dense_0": {"kernel": 1.0, "bias": 1.0},
+                "bn_0": {"scale": 1.0, "bias": 1.0},
+            },
+            "FC_mean": {"kernel": s_h, "bias": s_h},
+            "FC_var": {"kernel": s_h, "bias": s_h},
+        }
+        dec = template_params[f"decoder_{ln}"]
+        F = dec["FC_output"]["kernel"].shape[1]
+        mask[f"decoder_{ln}"] = {
+            "hidden_layers": {
+                "dense_0": {
+                    "kernel": np.outer(l_col, h_col),
+                    "bias": h_col.copy(),
+                },
+                "bn_0": {"scale": h_col.copy(), "bias": h_col.copy()},
+            },
+            "FC_output": {
+                "kernel": np.broadcast_to(
+                    h_col[:, None], dec["FC_output"]["kernel"].shape
+                ).copy(),
+                "bias": np.ones(F, np.float32),
+            },
+        }
+        s_l = float(np.sqrt(L_max / L_t))
+        scale[f"decoder_{ln}"] = {
+            "hidden_layers": {
+                "dense_0": {"kernel": s_l, "bias": s_l},
+                "bn_0": {"scale": 1.0, "bias": 1.0},
+            },
+            "FC_output": {"kernel": s_h, "bias": s_h},
+        }
+
+    # top-level FC over the concatenated per-modality latents (block rows)
+    in_mask = np.concatenate([l_col] * n_mod)
+    for key in ("FC_mean", "FC_log_var"):
+        mask[key] = {"kernel": np.outer(in_mask, l_col), "bias": l_col.copy()}
+        s = float(np.sqrt((n_mod * L_max) / (n_mod * L_t)))
+        scale[key] = {"kernel": s, "bias": s}
+
+    for key, sub in template_params.items():
+        if not key.startswith("head_"):
+            continue
+        n_out = sub["layer_out"]["kernel"].shape[1]
+        s_col = _col_mask(sub["layer_1"]["kernel"].shape[1], S_t)
+        mask[key] = {
+            "layer_1": {"kernel": np.outer(l_col, s_col), "bias": s_col.copy()},
+            "batchnorm": {"scale": s_col.copy(), "bias": s_col.copy()},
+            "layer_out": {
+                "kernel": np.broadcast_to(
+                    s_col[:, None], sub["layer_out"]["kernel"].shape
+                ).copy(),
+                **(
+                    {"bias": np.ones(n_out, np.float32)}
+                    if "bias" in sub["layer_out"]
+                    else {}
+                ),
+            },
+        }
+        scale[key] = {
+            "layer_1": {
+                "kernel": float(np.sqrt(L_max / L_t)),
+                "bias": float(np.sqrt(L_max / L_t)),
+            },
+            "batchnorm": {"scale": 1.0, "bias": 1.0},
+            "layer_out": {
+                "kernel": float(
+                    np.sqrt(sub["layer_1"]["kernel"].shape[1] / S_t)
+                ),
+                **({"bias": 1.0} if "bias" in sub["layer_out"] else {}),
+            },
+        }
+
+    for key in template_params:
+        if key.startswith("log_var_"):
+            mask[key] = np.ones(1, np.float32)
+            scale[key] = 1.0
+
+    def conform(m_tree, t_tree):
+        if isinstance(t_tree, dict):
+            return {k: conform(m_tree[k], v) for k, v in t_tree.items()}
+        return m_tree
+
+    return conform(mask, template_params), conform(scale, template_params)
+
+
+MASK_BUILDERS = {
+    "DirectPred": directpred_trial_mask,
+    "MultiTripletNetwork": directpred_trial_mask,
+    "supervised_vae": supervised_vae_trial_mask,
+}
+
+
 def build_padded_trials(model, configs: List[dict], seeds) -> dict:
     """Stacked per-trial (init params, masks) for a heterogeneous round.
 
@@ -193,10 +325,11 @@ def build_padded_trials(model, configs: List[dict], seeds) -> dict:
     layer_names = model.layers
     input_dims = model.input_dims
     params_stacked, stats_stacked = _init_stacked(model, seeds)
+    mask_builder = MASK_BUILDERS[model.model_name]
 
     masks, scales = [], []
     for cfg in configs:
-        m, s = directpred_trial_mask(
+        m, s = mask_builder(
             jax.tree.map(np.asarray, jax.tree.map(lambda a: a[0], params_stacked)),
             cfg,
             layer_names,
@@ -217,8 +350,21 @@ def build_padded_trials(model, configs: List[dict], seeds) -> dict:
         masks_stacked,
         scales_stacked,
     )
-    return {
+    out = {
         "params": params0,
         "masks": masks_stacked,
         "batch_stats": stats_stacked,
     }
+    if model.model_name == "supervised_vae":
+        # exact small-architecture MMD needs the trial's latent mask + dim
+        L_max = np.asarray(
+            jax.tree.map(lambda a: a[0], params_stacked)["FC_mean"]["kernel"]
+        ).shape[1]
+        lat_dims = [int(c["latent_dim"]) for c in configs]
+        out["aux"] = {
+            "latent_mask": jnp.stack(
+                [jnp.asarray(_col_mask(L_max, ld)) for ld in lat_dims]
+            ),
+            "latent_dim": jnp.asarray(lat_dims, jnp.float32),
+        }
+    return out

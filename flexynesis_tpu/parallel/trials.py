@@ -73,6 +73,7 @@ def vmapped_grid_fit(
     train_idx: np.ndarray,   # (T, n_tr) per-trial train rows
     val_idx: np.ndarray,     # (T, n_val) per-trial val rows
     masks=None,              # optional per-trial 0/1 update-mask pytree
+    aux=None,                # optional per-trial pytree injected as batch['_aux']
     batch_size: int = 32,
     max_epochs: int = 50,
     early_stop_patience: int = -1,
@@ -110,13 +111,16 @@ def vmapped_grid_fit(
     else:
         masks_tree = masks
 
-    def one_trial_epoch(params, opt_state, stats, rng, lr, mask, tr_i, va_i):
+    def one_trial_epoch(params, opt_state, stats, rng, lr, mask, tr_i, va_i,
+                        aux_i):
         def step(carry, batch_idx):
             params, opt_state, stats, rng = carry
             rng, srng = jax.random.split(rng)
             rows = tr_i[batch_idx]
             batch = jax.tree.map(lambda a: a[rows], per_sample)
             batch.update(static)
+            if aux_i is not None:
+                batch["_aux"] = aux_i
 
             def wrapped(p):
                 return loss_fn(p, stats, batch, srng, True)
@@ -138,13 +142,15 @@ def vmapped_grid_fit(
         )
         val_batch = jax.tree.map(lambda a: a[va_i], per_sample)
         val_batch.update(static)
+        if aux_i is not None:
+            val_batch["_aux"] = aux_i
         _, (losses, _) = loss_fn(params, stats, val_batch, None, False)
         return params, opt_state, stats, rng, sum(losses.values())
 
     @jax.jit
-    def epoch_vmapped(params, opt_state, stats, rngs, lrs, masks, tr, va):
+    def epoch_vmapped(params, opt_state, stats, rngs, lrs, masks, tr, va, aux):
         return jax.vmap(one_trial_epoch)(
-            params, opt_state, stats, rngs, lrs, masks, tr, va
+            params, opt_state, stats, rngs, lrs, masks, tr, va, aux
         )
 
     if start_params is not None:
@@ -166,6 +172,9 @@ def vmapped_grid_fit(
     tr = jnp.asarray(train_idx)
     va = jnp.asarray(val_idx)
 
+    aux_dev = (
+        jax.tree.map(jnp.asarray, aux) if aux is not None else None
+    )
     best = np.full(T, np.inf)
     best_epoch = np.zeros(T, dtype=int)
     stall = np.zeros(T, dtype=int)
@@ -173,7 +182,8 @@ def vmapped_grid_fit(
     for epoch in range(max_epochs):
         with jax.default_matmul_precision(matmul_precision):
             params, opt_state, stats, rngs, vloss = epoch_vmapped(
-                params, opt_state, stats, rngs, lrs_dev, masks_tree, tr, va
+                params, opt_state, stats, rngs, lrs_dev, masks_tree, tr, va,
+                aux_dev,
             )
         epochs_run = epoch + 1
         v = np.asarray(vloss)

@@ -247,7 +247,7 @@ class HyperparameterTuning:
 
     # model families whose parameters can be padded to a common max shape
     # (parallel/hetero.py) so even different-dim suggestions stack under vmap
-    PADDABLE_MODELS = ("DirectPred", "MultiTripletNetwork")
+    PADDABLE_MODELS = ("DirectPred", "MultiTripletNetwork", "supervised_vae")
 
     def _bucket_by_architecture(self, suggestions):
         """Group suggestions that can train in one vmapped program.
@@ -306,6 +306,7 @@ class HyperparameterTuning:
             train_idx=np.tile(train_idx, (len(group), 1)),
             val_idx=np.tile(val_idx, (len(group), 1)),
             masks=trials["masks"],
+            aux=trials.get("aux"),
             batch_size=int(group[0]["batch_size"]),
             max_epochs=int(group[0]["epochs"]),
             early_stop_patience=self.early_stop_patience,

@@ -197,3 +197,112 @@ class TestHeteroHPO:
         model, best = tuner.perform_tuning()
         assert model is not None and model.params is not None
         assert np.isfinite(best["lr"])
+
+
+class TestVAEHetero:
+    def test_padded_vae_forward_equals_exact(self, rng):
+        from flexynesis_tpu.models.supervised_vae import SupervisedVAE
+        from flexynesis_tpu.parallel.hetero import supervised_vae_trial_mask
+
+        ds = make_ds(rng)
+        cfg_small = small_cfg()
+        cfg_big = small_cfg(latent_dim=32, hidden_dim_factor=0.5,
+                            supervisor_hidden_dim=16)
+        exact = SupervisedVAE(cfg_small, ds, target_variables=["subtype"])
+        exact.init_params(ds, seed=7)
+        padded = SupervisedVAE(cfg_big, ds, target_variables=["subtype"])
+        padded.init_params(ds, seed=7)
+        mask, _ = supervised_vae_trial_mask(
+            jax.tree.map(np.asarray, padded.params),
+            cfg_small, exact.layers, exact.input_dims,
+        )
+        assert jax.tree_util.tree_structure(mask) == jax.tree_util.tree_structure(
+            jax.tree.map(np.asarray, padded.params)
+        )
+
+        # embed exact weights into the padded layout (block-place the
+        # top-level FC over concatenated latents like the fusion block)
+        def place(s, t, m):
+            out = np.zeros_like(np.asarray(t))
+            s = np.asarray(s)
+            out[tuple(slice(0, d) for d in s.shape)] = s
+            return out * np.asarray(m)
+
+        embedded = jax.tree.map(place, exact.params, padded.params, mask)
+        L_s = 16
+        L_m = 32
+        for key in ("FC_mean", "FC_log_var"):
+            k_small = np.asarray(exact.params[key]["kernel"])
+            k_t = np.asarray(padded.params[key]["kernel"])
+            out = np.zeros_like(k_t)
+            for m in range(2):
+                out[m * L_m : m * L_m + L_s, :L_s] = k_small[
+                    m * L_s : (m + 1) * L_s
+                ]
+            embedded[key]["kernel"] = out * np.asarray(mask[key]["kernel"])
+        padded.params = embedded
+
+        x = exact.make_eval_x(ds)
+        oe = exact._forward_eval(x)
+        op = padded._forward_eval(x)
+        np.testing.assert_allclose(
+            np.asarray(oe["outputs"]["subtype"]),
+            np.asarray(op["outputs"]["subtype"]), rtol=1e-4, atol=1e-5,
+        )
+        for ln in ("gex", "cnv"):
+            np.testing.assert_allclose(
+                np.asarray(oe["x_hat"][ln]), np.asarray(op["x_hat"][ln]),
+                rtol=1e-4, atol=1e-5,
+            )
+        # padded latent dims are exactly zero
+        z = np.asarray(op["embeddings"])
+        np.testing.assert_allclose(z[:, L_s:], 0.0, atol=1e-6)
+
+    def test_masked_mmd_matches_truncated(self, rng):
+        import jax.numpy as jnp
+
+        from flexynesis_tpu.ops.losses import masked_mmd_loss, mmd_loss
+
+        L_s, L_m, B = 8, 16, 20
+        key = jax.random.key(0)
+        z_small = jnp.asarray(rng.normal(size=(B, L_s)).astype(np.float32))
+        z_pad = jnp.pad(z_small, ((0, 0), (0, L_m - L_s)))
+        xh = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+        exact_val = mmd_loss(key, z_small, xh, x)
+        mask = jnp.concatenate([jnp.ones(L_s), jnp.zeros(L_m - L_s)])
+        padded_val = masked_mmd_loss(
+            key, z_pad, xh, x, mask, jnp.float32(L_s)
+        )
+        # prior draws differ in shape ((200, L_s) vs masked (200, L_m)), so
+        # values agree in distribution; with the SAME seed the masked prior's
+        # first L_s dims match exactly -> the values must be very close
+        np.testing.assert_allclose(
+            float(exact_val), float(padded_val), rtol=0.05
+        )
+
+    def test_vae_mixed_round_trains(self, rng):
+        from flexynesis_tpu.models.supervised_vae import SupervisedVAE
+        from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
+        from flexynesis_tpu.parallel.trials import vmapped_grid_fit
+
+        ds = make_ds(rng, n=64)
+        configs = [
+            small_cfg(latent_dim=16, lr=0.01),
+            small_cfg(latent_dim=32, supervisor_hidden_dim=16, lr=0.005),
+        ]
+        template_cfg = max_config(configs, [40, 20])
+        model = SupervisedVAE(template_cfg, ds, target_variables=["subtype"])
+        trials = build_padded_trials(model, configs, seeds=np.arange(2))
+        assert "aux" in trials
+        out = vmapped_grid_fit(
+            model, ds,
+            start_params=trials["params"], start_stats=trials["batch_stats"],
+            lrs=np.asarray([c["lr"] for c in configs], np.float32),
+            seeds=np.arange(2),
+            train_idx=np.tile(np.arange(48), (2, 1)),
+            val_idx=np.tile(np.arange(48, 64), (2, 1)),
+            masks=trials["masks"], aux=trials["aux"],
+            batch_size=16, max_epochs=10,
+        )
+        assert np.all(np.isfinite(out["best_val_loss"]))
