@@ -201,9 +201,10 @@ class TestCLITrainInfer:
             "--target_variables", "subtype",
             "--outdir", outdir,
             "--prefix", "job",
-            "--features_top_percentile", "50",
-            "--features_min", "20",
-            "--threads", "2",
+            "--features_top_percentile", "20",
+            "--features_min", "10",
+            "--subsample", "50",
+            "--threads", "4",
         ])
         assert rc == 0
         stats = pd.read_csv(os.path.join(outdir, "job.stats.csv"))

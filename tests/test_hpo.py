@@ -97,10 +97,12 @@ class TestHPOE2E:
             early_stop_patience=3,
             checkpoint_path=ckpt,
         )
-        # shrink epochs for test speed
+        # shrink epochs + pin shapes for test speed (fewer XLA compiles)
         for d in tuner.space.dimensions:
             if d.name == "epochs":
-                d.categories = [10]
+                d.categories = [6]
+            if d.name == "latent_dim":
+                d.quantize = 64
         model, best = tuner.perform_tuning()
         assert model is not None
         assert "lr" in best and "batch_size" in best and "epochs" in best
@@ -201,7 +203,13 @@ class TestParallelCV:
         )
         for d in tuner.space.dimensions:
             if d.name == "epochs":
-                d.categories = [8]
+                d.categories = [5]
+            if d.name == "latent_dim":
+                d.low = d.high = 16
+            if d.name == "hidden_dim_factor":
+                d.low = d.high = 0.3
+            if d.name == "supervisor_hidden_dim":
+                d.low = d.high = 8
         model, best = tuner.perform_tuning()
         # CV path ends in a full-data retrain, so a model must exist
         assert model is not None and model.params is not None
