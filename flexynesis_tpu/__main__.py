@@ -138,19 +138,34 @@ def _split(s):
 
 
 def _select_device(args) -> None:
-    """Pin the JAX platform per --device (reference utils.py:2198-2238)."""
+    """Pin the JAX platform per --device (reference utils.py:2198-2238).
+
+    The platform must be set BEFORE anything initializes the JAX backend:
+    jax.config.update("jax_platforms", ...) is a silent no-op once a backend
+    is live (and merely probing jax.devices() initializes one — under the
+    single-chip TPU tunnel that also grabs the chip grant). If a backend is
+    already initialized on the wrong platform we restart it.
+    """
     import jax
+    from jax._src import xla_bridge
 
     want = args.device
-    if args.use_gpu and want == "auto":
-        want = "auto"
-    try:
-        plats = {d.platform for d in jax.devices()}
-    except Exception:
-        plats = {"cpu"}
+    if want == "cpu":
+        if not xla_bridge.backends_are_initialized():
+            jax.config.update("jax_platforms", "cpu")
+        elif jax.devices()[0].platform != "cpu":
+            import jax.extend
+
+            print("[WARN] JAX backend already initialized on "
+                  f"{jax.devices()[0].platform}; restarting on cpu")
+            jax.extend.backend.clear_backends()
+            jax.config.update("jax_platforms", "cpu")
+    plats = {d.platform for d in jax.devices()}
+    if want == "cpu" and plats != {"cpu"}:
+        raise RuntimeError(
+            f"--device cpu requested but JAX platforms are {plats}"
+        )
     print(f"[INFO] JAX devices: {jax.devices()}")
-    if want in ("cpu",):
-        jax.config.update("jax_platforms", "cpu")
     print(f"[INFO] Using device preference: {want} (platforms: {plats})")
 
 

@@ -183,12 +183,16 @@ class DataImporter:
             logs[key] = log_df
             df = df.loc[keep]
 
+            # degenerate-sample mask BEFORE imputation: a fully-missing sample
+            # would otherwise become the median vector (nonzero std) and
+            # silently survive the zero-std removal below
+            pre_na_frac = df.isna().mean(axis=0)
             if df.isna().any().any():
                 medians = df.median(axis=1)
                 df = df.T.fillna(medians).T
 
             stds = df.std(axis=0)
-            sample_masks.append((stds != 0) & stds.notna())
+            sample_masks.append((stds != 0) & stds.notna() & (pre_na_frac < 1.0))
             cleaned[key] = df
             print(f"[INFO] layer '{key}': kept {df.shape[0]} features after cleanup")
 

@@ -222,10 +222,10 @@ class CoxPH:
         return self
 
     def predict_partial_hazard(self, df: pd.DataFrame) -> pd.Series:
+        # params_ are already on the original (un-standardized) feature scale,
+        # so lp = (X - mean) @ params_ == ((X - mean)/std) @ beta_normalized.
         X = df[self.features_].astype(float)
-        lp = (X - self._norm_mean).values @ (
-            self.params_.values * self._norm_std.values
-        )
+        lp = (X - self._norm_mean).values @ self.params_.values
         # equivalent to exp(X @ coef) up to a constant factor, as lifelines
         return pd.Series(np.exp(lp), index=df.index)
 

@@ -146,6 +146,51 @@ extern "C" FcsvMatrix* fastcsv_read(const char* path, int n_threads) {
   }
   int64_t n_rows = static_cast<int64_t>(idx.starts.size());
 
+  // ---- layout sanity checks ---------------------------------------------
+  // Two input shapes this fast path cannot represent are detected up front
+  // so the caller falls back to pandas instead of silently misparsing:
+  //  * quoted fields (may contain commas) anywhere in the header or the
+  //    first data row, and
+  //  * R-style headers with no leading index cell (header has one fewer
+  //    field than the data rows) — naive parsing would shift every column
+  //    label by one and drop the last data column.
+  {
+    auto count_commas = [](const char* s, const char* e) {
+      int64_t n = 0;
+      for (; s < e; ++s)
+        if (*s == ',') ++n;
+      return n;
+    };
+    const char* first_row = n_rows > 0 ? idx.starts[0] : nullptr;
+    const char* first_row_end = end;
+    if (first_row) {
+      const char* nl = static_cast<const char*>(
+          memchr(first_row, '\n', static_cast<size_t>(end - first_row)));
+      first_row_end = nl ? nl : end;
+    }
+    bool quoted =
+        memchr(p, '"', static_cast<size_t>(header_end - p)) != nullptr ||
+        (first_row &&
+         memchr(first_row, '"',
+                static_cast<size_t>(first_row_end - first_row)) != nullptr);
+    if (quoted) {
+      munmap(const_cast<char*>(buf), size);
+      m->error = strdup("fastcsv: quoted fields not supported");
+      return m;
+    }
+    if (first_row) {
+      int64_t hdr_fields = count_commas(p, header_end) + 1;
+      int64_t row_fields = count_commas(first_row, first_row_end) + 1;
+      if (row_fields != hdr_fields) {
+        munmap(const_cast<char*>(buf), size);
+        m->error =
+            strdup("fastcsv: header/data field-count mismatch (R-style "
+                   "header or ragged row)");
+        return m;
+      }
+    }
+  }
+
   float* data = static_cast<float*>(
       malloc(sizeof(float) * static_cast<size_t>(n_rows * n_cols)));
   std::vector<std::string> row_names(static_cast<size_t>(n_rows));

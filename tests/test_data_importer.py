@@ -134,6 +134,20 @@ class TestDataImporter:
         train, _ = imp.import_data()
         assert len(train) == 30
 
+    def test_cleanup_drops_all_nan_sample(self, data_path, rng):
+        """A fully-missing sample must be dropped, not resurrected as the
+        median vector by imputation."""
+        imp = DataImporter(data_path, ["gex"], top_percentile=0, na_threshold=0.5)
+        df = pd.DataFrame(
+            rng.normal(size=(10, 5)).astype(np.float32),
+            index=[f"g{i}" for i in range(10)],
+            columns=[f"S{j}" for j in range(5)],
+        )
+        df["S2"] = np.nan  # sample S2 entirely missing
+        cleaned = imp.cleanup_data({"gex": df})
+        assert "S2" not in cleaned["gex"].columns
+        assert cleaned["gex"].shape[1] == 4
+
 
 class TestFastCSV:
     def test_matches_pandas(self, rng, tmp_path):
@@ -165,6 +179,44 @@ class TestFastCSV:
         assert np.isnan(a.loc["g1", "S2"])
         assert np.isnan(a.loc["g2", "S1"])
         assert np.isnan(a.loc["g2", "S2"])
+
+    def test_r_style_header_falls_back_to_pandas(self, tmp_path):
+        """Header with no leading index cell (R write.csv style): the native
+        path must refuse and the wrapper return pandas' correct parse."""
+        from flexynesis_tpu.data.fastcsv import read_matrix_csv
+
+        p = tmp_path / "rstyle.csv"
+        p.write_text("S1,S2,S3\ng1,1.0,2.0,3.0\ng2,4.0,5.0,6.0\n")
+        a = read_matrix_csv(str(p))
+        b = pd.read_csv(p, index_col=0)
+        assert list(a.columns) == ["S1", "S2", "S3"]
+        assert a.shape == (2, 3)
+        np.testing.assert_allclose(a.values, b.values.astype(np.float32))
+
+    def test_quoted_fields_fall_back_to_pandas(self, tmp_path):
+        """Quoted fields containing commas must not corrupt the row."""
+        from flexynesis_tpu.data.fastcsv import read_matrix_csv
+
+        p = tmp_path / "quoted.csv"
+        p.write_text(',S1,"S2,x",S3\ng1,1.0,2.0,3.0\n"g2,b",4.0,5.0,6.0\n')
+        a = read_matrix_csv(str(p))
+        b = pd.read_csv(p, index_col=0)
+        assert list(a.columns) == list(b.columns)
+        assert list(a.index) == list(b.index)
+        np.testing.assert_allclose(a.values, b.values.astype(np.float32))
+
+    def test_native_errors_without_fallback(self, tmp_path):
+        """With fallback disabled the layout errors surface, not bad data."""
+        import pytest as _pytest
+
+        from flexynesis_tpu.data import fastcsv
+
+        if fastcsv._ensure_built() is None:
+            _pytest.skip("native fastcsv unavailable")
+        p = tmp_path / "rstyle.csv"
+        p.write_text("S1,S2,S3\ng1,1.0,2.0,3.0\n")
+        with _pytest.raises(RuntimeError, match="mismatch"):
+            fastcsv.read_matrix_csv(str(p), fallback=False)
 
 
 class TestShardedLaplacian:

@@ -94,6 +94,28 @@ class TestCoxPH:
         ci = concordance_index(t, -risk, np.ones(n))
         assert ci > 0.6
 
+    def test_partial_hazard_scale_invariant(self, rng):
+        """Regression: lp must equal (X - mean) @ params_, not
+        (X - mean) @ (params_ * std). With wildly unequal feature scales the
+        linear predictor must stay invariant to rescaling a column."""
+        n = 400
+        x1 = rng.normal(size=n)
+        x2 = rng.normal(size=n)
+        t = rng.exponential(np.exp(-(x1 + 0.5 * x2)))
+        df = pd.DataFrame({"a": x1, "b": x2, "time": t, "event": np.ones(n)})
+        df_scaled = df.copy()
+        df_scaled["b"] = df_scaled["b"] * 100.0  # same info, 100x the std
+
+        m = CoxPH().fit(df, "time", "event")
+        m_scaled = CoxPH().fit(df_scaled, "time", "event")
+        lp = np.log(m.predict_partial_hazard(df).values)
+        lp_scaled = np.log(m_scaled.predict_partial_hazard(df_scaled).values)
+        # identical model in different units -> identical linear predictors
+        np.testing.assert_allclose(lp, lp_scaled, rtol=1e-3, atol=1e-3)
+        # and lp must be exactly (X - mean) @ params_ on the original scale
+        manual = (df[["a", "b"]].values - m._norm_mean.values) @ m.params_.values
+        np.testing.assert_allclose(lp, manual, rtol=1e-10)
+
     def test_build_cox_model_cv(self, rng):
         n = 200
         x1 = rng.normal(size=n)
