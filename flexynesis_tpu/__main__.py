@@ -56,9 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="intermediate", help="How to fuse the omics layers")
     p.add_argument("--hpo_iter", type=int, default=100,
                    help="Hyperparameter optimisation iterations")
-    p.add_argument("--hpo_batch", type=int, default=1,
+    p.add_argument("--hpo_batch", type=int, default=0,
                    help="HPO suggestions evaluated per GP round (TPU trial "
-                        "fan-out; 1 = sequential like the reference)")
+                        "fan-out). Default 0 = auto: min(16, hpo_iter) on an "
+                        "accelerator, 1 (sequential, reference-like) on CPU")
     p.add_argument("--finetuning_samples", type=int, default=0,
                    help="Test samples used for fine-tuning (0 disables)")
     p.add_argument("--variance_threshold", type=float, default=1,
@@ -167,6 +168,23 @@ def _select_device(args) -> None:
         )
     print(f"[INFO] JAX devices: {jax.devices()}")
     print(f"[INFO] Using device preference: {want} (platforms: {plats})")
+
+
+def _resolve_hpo_batch(args) -> int:
+    """``--hpo_batch 0`` (the default) picks the TPU-first fan-out: batched
+    GP asks of min(16, hpo_iter) trials train concurrently (vmapped) on an
+    accelerator, while CPU runs stay sequential like the reference so the
+    reference-style invocation is fast on either backend."""
+    if args.hpo_batch and args.hpo_batch > 0:
+        return args.hpo_batch
+    import jax
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    batch = min(16, args.hpo_iter) if on_accel else 1
+    if batch > 1:
+        print(f"[INFO] HPO trial fan-out: {batch} suggestions per GP round "
+              "(vmapped; --hpo_batch 1 restores sequential trials)")
+    return batch
 
 
 # --------------------------------------------------------------- inference
@@ -497,7 +515,7 @@ def run_training(args) -> int:
         input_layers=_split(args.input_layers),
         output_layers=_split(args.output_layers),
         checkpoint_path=args.hpo_checkpoint,
-        batch_ask=args.hpo_batch,
+        batch_ask=_resolve_hpo_batch(args),
     )
     with tuner_timer_cm, trace(trace_dir):
         model, best_params = tuner.perform_tuning(hpo_patience=args.hpo_patience)

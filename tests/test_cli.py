@@ -354,6 +354,51 @@ class TestMoreCLIPaths:
         assert rc == 0
 
 
+class TestHpoBatchDefault:
+    def _args(self, hpo_batch=0, hpo_iter=100):
+        import argparse
+
+        return argparse.Namespace(hpo_batch=hpo_batch, hpo_iter=hpo_iter)
+
+    def test_cpu_defaults_sequential(self):
+        from flexynesis_tpu.__main__ import _resolve_hpo_batch
+
+        assert _resolve_hpo_batch(self._args()) == 1  # tests run on cpu
+
+    def test_accelerator_defaults_to_fanout(self, monkeypatch):
+        import flexynesis_tpu.__main__ as m
+
+        class FakeDev:
+            platform = "tpu"
+
+        monkeypatch.setattr("jax.devices", lambda *a: [FakeDev()])
+        assert m._resolve_hpo_batch(self._args()) == 16
+        assert m._resolve_hpo_batch(self._args(hpo_iter=5)) == 5
+
+    def test_explicit_value_wins(self, monkeypatch):
+        from flexynesis_tpu.__main__ import _resolve_hpo_batch
+
+        assert _resolve_hpo_batch(self._args(hpo_batch=3)) == 3
+
+    def test_cli_batched_rounds_use_vmapped_trials(
+        self, data_path, tmp_path, capsys
+    ):
+        """A batched GP round must train the group concurrently (the
+        ParallelTrials vmapped path), not fall back to sequential fits."""
+        outdir = str(tmp_path / "out")
+        _write_small_space(outdir, "DirectPred")
+        rc = _run(data_path, outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--hpo_iter", "4",
+            "--hpo_batch", "4",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Training 4 same-architecture trials" in out
+
+
 class TestCLIValidation:
     def _expect_error(self, args):
         with pytest.raises(SystemExit):
