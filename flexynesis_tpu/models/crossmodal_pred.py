@@ -183,10 +183,24 @@ class CrossModalPred(BaseModel):
     def _extra_losses(self, out, batch, rng):
         if rng is None:
             rng = jax.random.key(0)
+        keys = jax.random.split(rng, len(self.output_layers))
+        aux = batch.get("_aux")
+        if aux is not None:
+            # heterogeneous-trial padding: exact small-architecture MMD over
+            # the trial's active latent dims (parallel/hetero.py)
+            from ..ops.losses import masked_mmd_loss
+
+            terms = [
+                masked_mmd_loss(
+                    k, out["embeddings"], out["x_hat"][ln], batch["x"][ln],
+                    aux["latent_mask"], aux["latent_dim"],
+                )
+                for k, ln in zip(keys, self.output_layers)
+            ]
+            return {"mmd_loss": jnp.mean(jnp.stack(terms))}
         loss_impl = mmd_loss
         if self.config.get("fused_kernels"):
             from ..ops.pallas.mmd_kernel import mmd_loss_pallas as loss_impl
-        keys = jax.random.split(rng, len(self.output_layers))
         terms = [
             loss_impl(k, out["embeddings"], out["x_hat"][ln], batch["x"][ln])
             for k, ln in zip(keys, self.output_layers)

@@ -30,7 +30,8 @@ import numpy as np
 def _dims_of(config: dict, input_dims: List[int]) -> dict:
     latent = int(config["latent_dim"])
     hidden = [
-        max(int(d * float(config["hidden_dim_factor"])), 2) for d in input_dims
+        max(int(d * float(config.get("hidden_dim_factor", 0))), 2)
+        for d in input_dims
     ]
     sup = max(int(config["supervisor_hidden_dim"]), 2)
     return {"latent": latent, "hidden": hidden, "sup": sup}
@@ -39,15 +40,37 @@ def _dims_of(config: dict, input_dims: List[int]) -> dict:
 def max_config(configs: List[dict], input_dims: List[int]) -> dict:
     """Config whose architecture dims dominate every trial in the round."""
     dims = [_dims_of(c, input_dims) for c in configs]
-    latent_max = max(d["latent"] for d in dims)
-    sup_max = max(d["sup"] for d in dims)
-    # hidden is derived from hidden_dim_factor: take the max factor
-    factor_max = max(float(c["hidden_dim_factor"]) for c in configs)
     out = dict(configs[0])
-    out["latent_dim"] = latent_max
-    out["hidden_dim_factor"] = factor_max
-    out["supervisor_hidden_dim"] = sup_max
+    out["latent_dim"] = max(d["latent"] for d in dims)
+    out["supervisor_hidden_dim"] = max(d["sup"] for d in dims)
+    if "hidden_dim_factor" in configs[0]:
+        # hidden is derived from hidden_dim_factor: take the max factor
+        out["hidden_dim_factor"] = max(
+            float(c["hidden_dim_factor"]) for c in configs
+        )
+    if "node_embedding_dim" in configs[0]:
+        out["node_embedding_dim"] = max(
+            int(c["node_embedding_dim"]) for c in configs
+        )
     return out
+
+
+def bucket_key(model_name: str, params: dict) -> tuple:
+    """Suggestions sharing this key can train as ONE padded vmapped program.
+
+    Architecture dims pad to the group max, so only structurally un-paddable
+    settings bucket: epoch/batch schedule for every family, plus conv
+    count/activation/readout for the GNN (different conv counts mean a
+    different parameter-tree structure, not just different shapes).
+    """
+    key = (params.get("epochs"), params.get("batch_size"))
+    if model_name == "GNN":
+        key += (
+            params.get("num_convs"),
+            params.get("activation"),
+            params.get("gnn_readout", "flatten"),
+        )
+    return key
 
 
 def _col_mask(n_total: int, n_active: int) -> np.ndarray:
@@ -188,8 +211,16 @@ def supervised_vae_trial_mask(
     layer_names: List[str],
     input_dims: List[int],
 ) -> Tuple[dict, dict]:
-    """(mask, init_scale) pytrees for a supervised_vae trial."""
+    """(mask, init_scale) pytrees for a supervised_vae / CrossModalPred trial.
+
+    ``layer_names``/``input_dims`` describe the ENCODED layers (for
+    CrossModalPred that is ``input_layers``); decoders are discovered from
+    the template's ``decoder_*`` keys, with each decoder's trial hidden dim
+    derived from its own output width (CrossModalPred reconstructs a
+    possibly different layer subset — models/crossmodal_pred.py).
+    """
     dims = _dims_of(config, input_dims)
+    factor = float(config["hidden_dim_factor"])
     L_max = template_params["FC_mean"]["kernel"].shape[1]
     H_max = {
         ln: template_params[f"encoder_{ln}"]["hidden_layers"]["dense_0"][
@@ -200,6 +231,7 @@ def supervised_vae_trial_mask(
     L_t, S_t = dims["latent"], dims["sup"]
     n_mod = len(layer_names)
     l_col = _col_mask(L_max, L_t)
+    s_l = float(np.sqrt(L_max / L_t))
 
     mask, scale = {}, {}
     for li, ln in enumerate(layer_names):
@@ -228,9 +260,16 @@ def supervised_vae_trial_mask(
             "FC_mean": {"kernel": s_h, "bias": s_h},
             "FC_var": {"kernel": s_h, "bias": s_h},
         }
-        dec = template_params[f"decoder_{ln}"]
+
+    for key in template_params:
+        if not key.startswith("decoder_"):
+            continue
+        dec = template_params[key]
         F = dec["FC_output"]["kernel"].shape[1]
-        mask[f"decoder_{ln}"] = {
+        Hm_dec = dec["hidden_layers"]["dense_0"]["kernel"].shape[1]
+        Ht_dec = max(int(F * factor), 2)
+        h_col = _col_mask(Hm_dec, Ht_dec)
+        mask[key] = {
             "hidden_layers": {
                 "dense_0": {
                     "kernel": np.outer(l_col, h_col),
@@ -245,13 +284,13 @@ def supervised_vae_trial_mask(
                 "bias": np.ones(F, np.float32),
             },
         }
-        s_l = float(np.sqrt(L_max / L_t))
-        scale[f"decoder_{ln}"] = {
+        s_h_dec = float(np.sqrt(Hm_dec / Ht_dec))
+        scale[key] = {
             "hidden_layers": {
                 "dense_0": {"kernel": s_l, "bias": s_l},
                 "bn_0": {"scale": 1.0, "bias": 1.0},
             },
-            "FC_output": {"kernel": s_h, "bias": s_h},
+            "FC_output": {"kernel": s_h_dec, "bias": s_h_dec},
         }
 
     # top-level FC over the concatenated per-modality latents (block rows)
@@ -307,10 +346,141 @@ def supervised_vae_trial_mask(
     return conform(mask, template_params), conform(scale, template_params)
 
 
+def gnn_trial_mask(
+    template_params,
+    config: dict,
+    layer_names: List[str],
+    input_dims: List[int],
+) -> Tuple[dict, dict]:
+    """(mask, init_scale) pytrees for a GNN trial against the padded template.
+
+    Pads ``node_embedding_dim`` (every conv's output channels + BN),
+    ``latent_dim`` (the fc readout) and ``supervisor_hidden_dim`` (heads);
+    ``num_convs``/``activation``/readout are structural and bucket instead
+    (see bucket_key). Covers all four conv parameterizations
+    (ops/graph_conv.py): GCN ``lin``, SAGE/GC ``lin_root``+``lin_nbr``,
+    GAT ``lin``+``att_src``+``att_dst``+``bias``.
+    """
+    enc = template_params["encoder"]
+    E_t = max(int(config["node_embedding_dim"]), 1)
+    L_t = int(config["latent_dim"])
+    S_t = max(int(config["supervisor_hidden_dim"]), 2)
+
+    # template dims from the parameter shapes
+    conv_keys = sorted(
+        (k for k in enc if k.startswith("conv_")), key=lambda s: int(s[5:])
+    )
+    first = enc[conv_keys[0]]
+    lin0 = first.get("lin", first.get("lin_root"))
+    E_max = lin0["kernel"].shape[1]
+    fc_rows, L_max = enc["fc"]["kernel"].shape
+    e_col = _col_mask(E_max, E_t)
+    l_col = _col_mask(L_max, L_t)
+
+    def conv_mask(sub, in_col):
+        """Mask/scale for one DenseGraphConvLayer parameter subtree."""
+        m, s = {}, {}
+        for name, leaf in sub.items():
+            if name in ("lin", "lin_root", "lin_nbr"):
+                rows = leaf["kernel"].shape[0]
+                row_col = (
+                    in_col if in_col is not None else np.ones(rows, np.float32)
+                )
+                fi_max, fi_t = rows, int(row_col.sum())
+                if name == "lin":
+                    # GCN/GAT 'lin' uses xavier_uniform: U(+-sqrt(6/(fi+fo)))
+                    sc = float(np.sqrt((fi_max + E_max) / (fi_t + E_t)))
+                else:
+                    # SAGE/GC root/neighbor use torch U(+-1/sqrt(fan_in))
+                    sc = float(np.sqrt(fi_max / fi_t))
+                m[name] = {"kernel": np.outer(row_col, e_col)}
+                s[name] = {"kernel": sc}
+                if "bias" in leaf:
+                    m[name]["bias"] = e_col.copy()
+                    s[name]["bias"] = sc
+            elif name in ("att_src", "att_dst"):
+                m[name] = {"kernel": e_col[:, None].copy()}
+                s[name] = {"kernel": float(np.sqrt((E_max + 1) / (E_t + 1)))}
+            elif name == "bias":  # GAT layer-level bias
+                m[name] = e_col.copy()
+                s[name] = 1.0
+        return m, s
+
+    enc_mask, enc_scale = {}, {}
+    for i, ck in enumerate(conv_keys):
+        in_col = None if i == 0 else e_col  # conv_0 consumes raw node feats
+        enc_mask[ck], enc_scale[ck] = conv_mask(enc[ck], in_col)
+        bk = f"bn_{i}"
+        enc_mask[bk] = {"scale": e_col.copy(), "bias": e_col.copy()}
+        enc_scale[bk] = {"scale": 1.0, "bias": 1.0}
+
+    if fc_rows == E_max:  # mean-pool readout
+        fc_row_mask = e_col
+    else:  # flatten readout: per-node blocks of E_max channels
+        n_nodes = fc_rows // E_max
+        fc_row_mask = np.tile(e_col, n_nodes)
+    enc_mask["fc"] = {
+        "kernel": np.outer(fc_row_mask, l_col),
+        "bias": l_col.copy(),
+    }
+    s_fc = float(np.sqrt(E_max / E_t))  # fan_in ratio (n_nodes cancels)
+    enc_scale["fc"] = {"kernel": s_fc, "bias": s_fc}
+
+    mask = {"encoder": enc_mask}
+    scale = {"encoder": enc_scale}
+
+    for key, sub in template_params.items():
+        if not key.startswith("head_"):
+            continue
+        n_out = sub["layer_out"]["kernel"].shape[1]
+        s_col = _col_mask(sub["layer_1"]["kernel"].shape[1], S_t)
+        mask[key] = {
+            "layer_1": {"kernel": np.outer(l_col, s_col), "bias": s_col.copy()},
+            "batchnorm": {"scale": s_col.copy(), "bias": s_col.copy()},
+            "layer_out": {
+                "kernel": np.broadcast_to(
+                    s_col[:, None], sub["layer_out"]["kernel"].shape
+                ).copy(),
+                **(
+                    {"bias": np.ones(n_out, np.float32)}
+                    if "bias" in sub["layer_out"]
+                    else {}
+                ),
+            },
+        }
+        scale[key] = {
+            "layer_1": {
+                "kernel": float(np.sqrt(L_max / L_t)),
+                "bias": float(np.sqrt(L_max / L_t)),
+            },
+            "batchnorm": {"scale": 1.0, "bias": 1.0},
+            "layer_out": {
+                "kernel": float(
+                    np.sqrt(sub["layer_1"]["kernel"].shape[1] / S_t)
+                ),
+                **({"bias": 1.0} if "bias" in sub["layer_out"] else {}),
+            },
+        }
+
+    for key in template_params:
+        if key.startswith("log_var_"):
+            mask[key] = np.ones(1, np.float32)
+            scale[key] = 1.0
+
+    def conform(m_tree, t_tree):
+        if isinstance(t_tree, dict):
+            return {k: conform(m_tree[k], v) for k, v in t_tree.items()}
+        return m_tree
+
+    return conform(mask, template_params), conform(scale, template_params)
+
+
 MASK_BUILDERS = {
     "DirectPred": directpred_trial_mask,
     "MultiTripletNetwork": directpred_trial_mask,
     "supervised_vae": supervised_vae_trial_mask,
+    "CrossModalPred": supervised_vae_trial_mask,
+    "GNN": gnn_trial_mask,
 }
 
 
@@ -355,7 +525,7 @@ def build_padded_trials(model, configs: List[dict], seeds) -> dict:
         "masks": masks_stacked,
         "batch_stats": stats_stacked,
     }
-    if model.model_name == "supervised_vae":
+    if model.model_name in ("supervised_vae", "CrossModalPred"):
         # exact small-architecture MMD needs the trial's latent mask + dim
         L_max = np.asarray(
             jax.tree.map(lambda a: a[0], params_stacked)["FC_mean"]["kernel"]

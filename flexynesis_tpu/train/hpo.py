@@ -247,21 +247,31 @@ class HyperparameterTuning:
 
     # model families whose parameters can be padded to a common max shape
     # (parallel/hetero.py) so even different-dim suggestions stack under vmap
-    PADDABLE_MODELS = ("DirectPred", "MultiTripletNetwork", "supervised_vae")
+    PADDABLE_MODELS = (
+        "DirectPred",
+        "MultiTripletNetwork",
+        "supervised_vae",
+        "CrossModalPred",
+        "GNN",
+    )
 
     def _bucket_by_architecture(self, suggestions):
         """Group suggestions that can train in one vmapped program.
 
-        For paddable model families only (epochs, batch_size) must match —
-        architecture dims pad to the group's max (parallel/hetero.py). Other
-        models group on full architecture identity, with lr free (a vmapped
-        scalar).
+        For paddable model families only structurally un-paddable settings
+        must match (hetero.bucket_key: epochs/batch for all, plus conv count/
+        activation/readout for the GNN) — architecture dims pad to the
+        group's max (parallel/hetero.py). Other models group on full
+        architecture identity, with lr free (a vmapped scalar).
         """
-        paddable = self.model_class.__name__ in self.PADDABLE_MODELS
+        from ..parallel.hetero import bucket_key
+
+        name = self.model_class.__name__
+        paddable = name in self.PADDABLE_MODELS
         buckets: dict = {}
         for params in suggestions:
             if paddable:
-                key = (params.get("epochs"), params.get("batch_size"))
+                key = bucket_key(name, params)
             else:
                 key = tuple(
                     (k, params[k]) for k in sorted(params) if k != "lr"

@@ -281,6 +281,90 @@ class TestVAEHetero:
             float(exact_val), float(padded_val), rtol=0.05
         )
 
+    def test_padded_crossmodal_forward_equals_exact(self, rng):
+        """Asymmetric input/output layer subsets exercise the decoder-subset
+        path of the shared VAE-family mask builder."""
+        from flexynesis_tpu.models.crossmodal_pred import CrossModalPred
+        from flexynesis_tpu.parallel.hetero import supervised_vae_trial_mask
+
+        ds = make_ds(rng)
+        cfg_small = small_cfg()
+        cfg_big = small_cfg(latent_dim=32, hidden_dim_factor=0.5,
+                            supervisor_hidden_dim=16)
+        kw = dict(target_variables=["subtype"],
+                  input_layers=["gex", "cnv"], output_layers=["cnv"])
+        exact = CrossModalPred(cfg_small, ds, **kw)
+        exact.init_params(ds, seed=7)
+        padded = CrossModalPred(cfg_big, ds, **kw)
+        padded.init_params(ds, seed=7)
+        mask, _ = supervised_vae_trial_mask(
+            jax.tree.map(np.asarray, padded.params),
+            cfg_small, exact.layers, exact.input_dims,
+        )
+        assert jax.tree_util.tree_structure(mask) == jax.tree_util.tree_structure(
+            jax.tree.map(np.asarray, padded.params)
+        )
+
+        def place(s, t, m):
+            out = np.zeros_like(np.asarray(t))
+            s = np.asarray(s)
+            out[tuple(slice(0, d) for d in s.shape)] = s
+            return out * np.asarray(m)
+
+        embedded = jax.tree.map(place, exact.params, padded.params, mask)
+        L_s, L_m = 16, 32
+        for key in ("FC_mean", "FC_log_var"):
+            k_small = np.asarray(exact.params[key]["kernel"])
+            k_t = np.asarray(padded.params[key]["kernel"])
+            out = np.zeros_like(k_t)
+            for m in range(2):  # 2 input layers feed the concat
+                out[m * L_m : m * L_m + L_s, :L_s] = k_small[
+                    m * L_s : (m + 1) * L_s
+                ]
+            embedded[key]["kernel"] = out * np.asarray(mask[key]["kernel"])
+        padded.params = embedded
+
+        x = exact.make_eval_x(ds)
+        oe = exact._forward_eval(x)
+        op = padded._forward_eval(x)
+        np.testing.assert_allclose(
+            np.asarray(oe["outputs"]["subtype"]),
+            np.asarray(op["outputs"]["subtype"]), rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(oe["x_hat"]["cnv"]), np.asarray(op["x_hat"]["cnv"]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_crossmodal_mixed_round_trains(self, rng):
+        from flexynesis_tpu.models.crossmodal_pred import CrossModalPred
+        from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
+        from flexynesis_tpu.parallel.trials import vmapped_grid_fit
+
+        ds = make_ds(rng, n=64)
+        configs = [
+            small_cfg(latent_dim=16, lr=0.01),
+            small_cfg(latent_dim=32, supervisor_hidden_dim=16, lr=0.005),
+        ]
+        template_cfg = max_config(configs, [40, 20])
+        model = CrossModalPred(
+            template_cfg, ds, target_variables=["subtype"],
+            input_layers=["gex"], output_layers=["cnv"],
+        )
+        trials = build_padded_trials(model, configs, seeds=np.arange(2))
+        assert "aux" in trials
+        out = vmapped_grid_fit(
+            model, ds,
+            start_params=trials["params"], start_stats=trials["batch_stats"],
+            lrs=np.asarray([c["lr"] for c in configs], np.float32),
+            seeds=np.arange(2),
+            train_idx=np.tile(np.arange(48), (2, 1)),
+            val_idx=np.tile(np.arange(48, 64), (2, 1)),
+            masks=trials["masks"], aux=trials["aux"],
+            batch_size=16, max_epochs=8,
+        )
+        assert np.all(np.isfinite(out["best_val_loss"]))
+
     def test_vae_mixed_round_trains(self, rng):
         from flexynesis_tpu.models.supervised_vae import SupervisedVAE
         from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
@@ -306,3 +390,121 @@ class TestVAEHetero:
             batch_size=16, max_epochs=10,
         )
         assert np.all(np.isfinite(out["best_val_loss"]))
+
+
+class TestGNNHetero:
+    def _nw_ds(self, rng, n=48, gex=20, k=3):
+        import pandas as pd
+
+        from flexynesis_tpu.data.dataset import MultiOmicDatasetNW
+
+        base = make_ds(rng, n=n, gex=gex, cnv=10, k=k)
+        genes = [f"g{i}" for i in range(gex)]
+        edges = pd.DataFrame({
+            "protein1": [genes[i] for i in range(gex)],
+            "protein2": [genes[(i + 1) % gex] for i in range(gex)],
+        })
+        return MultiOmicDatasetNW(base, edges)
+
+    def _gnn_cfg(self, **kw):
+        cfg = {
+            "latent_dim": 16, "node_embedding_dim": 4, "num_convs": 2,
+            "lr": 0.01, "supervisor_hidden_dim": 8, "epochs": 8,
+            "batch_size": 16, "activation": "relu",
+        }
+        cfg.update(kw)
+        return cfg
+
+    def _embed_gnn(self, exact, padded, mask, E_s, E_m):
+        """Place small-GNN params into the padded layout (fc needs per-node
+        block placement: node m's channels live at [m*E_max, m*E_max+E_s))."""
+
+        def place(s, t, m):
+            out = np.zeros_like(np.asarray(t))
+            s = np.asarray(s)
+            out[tuple(slice(0, d) for d in s.shape)] = s
+            return out * np.asarray(m)
+
+        embedded = jax.tree.map(place, exact.params, padded.params, mask)
+        k_small = np.asarray(exact.params["encoder"]["fc"]["kernel"])
+        k_t = np.asarray(padded.params["encoder"]["fc"]["kernel"])
+        n_nodes = k_t.shape[0] // E_m
+        out = np.zeros_like(k_t)
+        for m in range(n_nodes):
+            out[m * E_m : m * E_m + E_s, : k_small.shape[1]] = k_small[
+                m * E_s : (m + 1) * E_s
+            ]
+        embedded["encoder"]["fc"]["kernel"] = out * np.asarray(
+            mask["encoder"]["fc"]["kernel"]
+        )
+        return embedded
+
+    @pytest.mark.parametrize("conv_type", ["GC", "GCN"])
+    def test_padded_gnn_forward_equals_exact(self, rng, conv_type):
+        from flexynesis_tpu.models.gnn import GNN
+        from flexynesis_tpu.parallel.hetero import gnn_trial_mask
+
+        ds = self._nw_ds(rng)
+        cfg_small = self._gnn_cfg()
+        cfg_big = self._gnn_cfg(latent_dim=32, node_embedding_dim=8,
+                                supervisor_hidden_dim=16)
+        exact = GNN(cfg_small, ds, target_variables=["subtype"],
+                    gnn_conv_type=conv_type)
+        exact.init_params(ds, seed=7)
+        padded = GNN(cfg_big, ds, target_variables=["subtype"],
+                     gnn_conv_type=conv_type)
+        padded.init_params(ds, seed=7)
+        mask, _ = gnn_trial_mask(
+            jax.tree.map(np.asarray, padded.params),
+            cfg_small, padded.layers, padded.input_dims,
+        )
+        assert jax.tree_util.tree_structure(mask) == jax.tree_util.tree_structure(
+            jax.tree.map(np.asarray, padded.params)
+        )
+        padded.params = self._embed_gnn(exact, padded, mask, E_s=4, E_m=8)
+
+        x = exact.make_eval_x(ds)
+        oe = exact._forward_eval(x)["outputs"]["subtype"]
+        op = padded._forward_eval(x)["outputs"]["subtype"]
+        np.testing.assert_allclose(
+            np.asarray(oe), np.asarray(op), rtol=1e-4, atol=1e-5
+        )
+
+    def test_gnn_mixed_round_trains(self, rng):
+        from flexynesis_tpu.models.gnn import GNN
+        from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
+        from flexynesis_tpu.parallel.trials import vmapped_grid_fit
+
+        ds = self._nw_ds(rng, n=64)
+        configs = [
+            self._gnn_cfg(node_embedding_dim=4, lr=0.01),
+            self._gnn_cfg(node_embedding_dim=8, latent_dim=32, lr=0.005),
+        ]
+        template_cfg = max_config(configs, [ds.dat["all"].shape[1]])
+        model = GNN(template_cfg, ds, target_variables=["subtype"],
+                    gnn_conv_type="GC")
+        trials = build_padded_trials(model, configs, seeds=np.arange(2))
+        out = vmapped_grid_fit(
+            model, ds,
+            start_params=trials["params"], start_stats=trials["batch_stats"],
+            lrs=np.asarray([c["lr"] for c in configs], np.float32),
+            seeds=np.arange(2),
+            train_idx=np.tile(np.arange(48), (2, 1)),
+            val_idx=np.tile(np.arange(48, 64), (2, 1)),
+            masks=trials["masks"],
+            batch_size=16, max_epochs=8,
+        )
+        assert np.all(np.isfinite(out["best_val_loss"]))
+
+    def test_bucket_key_splits_on_num_convs(self):
+        from flexynesis_tpu.parallel.hetero import bucket_key
+
+        a = self._gnn_cfg(num_convs=1)
+        b = self._gnn_cfg(num_convs=2)
+        c = self._gnn_cfg(num_convs=2, node_embedding_dim=16)
+        assert bucket_key("GNN", a) != bucket_key("GNN", b)
+        assert bucket_key("GNN", b) == bucket_key("GNN", c)
+        # non-GNN families pad every architecture dim
+        assert bucket_key("DirectPred", {"epochs": 10, "batch_size": 32}) == (
+            10, 32,
+        )
