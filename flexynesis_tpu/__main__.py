@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["IntegratedGradients", "GradientShap", "Both"],
                    default="IntegratedGradients")
     p.add_argument("--disable_marker_finding", action="store_true")
+    p.add_argument("--marker_sample_cap", type=int, default=0,
+                   help="Subsample the attribution cohort to this many "
+                        "samples (the reference always caps at 10000; here "
+                        "the default 0 = no cap — large cohorts shard the "
+                        "sample axis over all devices instead)")
     p.add_argument("--string_organism", type=int, default=9606,
                    help="STRING DB organism id")
     p.add_argument("--string_node_name", type=str,
@@ -328,23 +333,39 @@ def _write_eval_outputs(args, model, train_dataset, test_dataset):
             if args.feature_importance_method == "Both"
             else [args.feature_importance_method]
         )
-        # attribution cohort capped at 10k samples with a seeded subsample
-        # (reference __main__.py:1377-1387)
+        # the reference always caps the attribution cohort at 10k seeded
+        # subsamples (__main__.py:1377-1387); here the cap is opt-in
+        # (--marker_sample_cap) because large cohorts shard the sample axis
+        # across all devices instead (interpret/attribution.py)
         attr_dataset = test_dataset
-        if len(test_dataset) > 10000:
+        cap = args.marker_sample_cap
+        if cap and len(test_dataset) > cap:
             import numpy as np
 
             rng = np.random.default_rng(42)
-            idx = rng.choice(len(test_dataset), size=10000, replace=False)
+            idx = rng.choice(len(test_dataset), size=cap, replace=False)
             attr_dataset = test_dataset.subset(idx)
-            print("[INFO] Capping marker discovery at 10000 subsampled samples")
+            print(f"[INFO] Capping marker discovery at {cap} subsampled samples")
+        attr_mesh = None
+        if len(attr_dataset) > 2048:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from .parallel.mesh import get_mesh
+
+                attr_mesh = get_mesh((("data", len(jax.devices())),))
+                print(
+                    f"[INFO] Sharding attribution sample axis over "
+                    f"{len(jax.devices())} devices"
+                )
         for method in methods:
             dfs = []
             for var in model.variables:
                 print(f"[INFO] Computing feature importance ({method}) for {var}")
                 dfs.append(
                     model.compute_feature_importance(
-                        attr_dataset, var, method=method, steps_or_samples=25
+                        attr_dataset, var, method=method, steps_or_samples=25,
+                        mesh=attr_mesh,
                     )
                 )
             pd.concat(dfs, ignore_index=True).to_csv(

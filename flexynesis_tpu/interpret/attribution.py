@@ -134,10 +134,18 @@ def abs_attribution_sums(
     steps_or_samples: int = 5,
     batch_size: int = 512,
     rng_seed: int = 42,
+    mesh=None,
 ):
     """Per-class, per-layer sum of |attributions| over all samples.
 
     Returns (sums, n_class, n) where sums[c][layer] is a (n_features,) array.
+
+    ``mesh`` shards the SAMPLE axis of each batch across the mesh's first
+    axis (SURVEY.md §5.7's "sequence parallel" analog): attributions are
+    per-sample independent, params/stats replicate, and the per-batch
+    |attr| reduction becomes an XLA psum — so cohorts far beyond the
+    reference's 10k-sample cap (__main__.py:1377-1387) attribute at full
+    size, matching the single-device result exactly.
     """
     if method not in ("IntegratedGradients", "GradientShap"):
         raise ValueError(
@@ -145,6 +153,19 @@ def abs_attribution_sums(
         )
     params, batch_stats = model.params, model.batch_stats
     layers: List[str] = model.layers
+
+    data_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        axis = mesh.axis_names[0]
+        # every compiled batch must split evenly over the mesh axis
+        batch_size = int(np.ceil(batch_size / n_dev) * n_dev)
+        data_sharding = NamedSharding(mesh, P(axis))
+        replicated = NamedSharding(mesh, P())
+        params = jax.device_put(params, replicated)
+        batch_stats = jax.device_put(batch_stats, replicated)
 
     def forward(x):
         return model._attribution_forward(params, batch_stats, x, target_var)
@@ -162,12 +183,14 @@ def abs_attribution_sums(
     for start in range(0, n, batch_size):
         idx = np.arange(start, min(start + batch_size, n))
         x = {k: jnp.asarray(dataset.dat[k][idx]) for k in layers}
-        if len(idx) < batch_size and n > batch_size:
+        if len(idx) < batch_size and (n > batch_size or mesh is not None):
             # zero-pad the ragged tail so one compiled shape serves all
-            # batches; zero inputs have exactly zero attribution here
-            # (x * grad with x = 0), so sums are unaffected
+            # batches (and shards evenly); zero inputs have exactly zero
+            # attribution here (x * grad with x = 0), so sums are unaffected
             pad = batch_size - len(idx)
             x = {k: jnp.pad(v, ((0, pad), (0, 0))) for k, v in x.items()}
+        if data_sharding is not None:
+            x = jax.device_put(x, data_sharding)
         rng, sub = jax.random.split(rng)
         per_class = _all_class_abs_attr(
             forward, x, int(steps_or_samples), int(n_class), method, sub
@@ -190,12 +213,13 @@ def compute_feature_importance(
     steps_or_samples: int = 5,
     batch_size: int = 512,
     rng_seed: int = 42,
+    mesh=None,
 ) -> pd.DataFrame:
     """Tidy per-feature importance table for one target variable."""
     sums, n_class, n = abs_attribution_sums(
         model, dataset, target_var,
         method=method, steps_or_samples=steps_or_samples,
-        batch_size=batch_size, rng_seed=rng_seed,
+        batch_size=batch_size, rng_seed=rng_seed, mesh=mesh,
     )
     layers: List[str] = model.layers
     rows = []

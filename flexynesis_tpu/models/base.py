@@ -299,11 +299,13 @@ class BaseModel:
         method: str = "IntegratedGradients",
         steps_or_samples: int = 5,
         batch_size: int = 512,
+        mesh=None,
     ) -> pd.DataFrame:
         """Per-class feature attributions (reference direct_pred.py:432-590).
 
         IntegratedGradients / GradientShap reimplemented as vmapped jax.grad
-        path integration — see interpret/attribution.py.
+        path integration — see interpret/attribution.py. ``mesh`` shards the
+        sample axis over devices for large cohorts.
         """
         from ..interpret.attribution import compute_feature_importance as _cfi
 
@@ -314,6 +316,7 @@ class BaseModel:
             method=method,
             steps_or_samples=steps_or_samples,
             batch_size=batch_size,
+            mesh=mesh,
         )
         self.feature_importances[target_var] = df
         return df

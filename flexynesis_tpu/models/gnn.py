@@ -154,6 +154,7 @@ class GNN(BaseModel):
         method="IntegratedGradients",
         steps_or_samples=5,
         batch_size=512,
+        mesh=None,
     ) -> pd.DataFrame:
         """Node attributions split per original omic layer (gnn_early.py:599-633)."""
         from ..interpret.attribution import abs_attribution_sums
@@ -161,7 +162,7 @@ class GNN(BaseModel):
         sums, n_class, n = abs_attribution_sums(
             self, dataset, target_var,
             method=method, steps_or_samples=steps_or_samples,
-            batch_size=batch_size,
+            batch_size=batch_size, mesh=mesh,
         )
         orig_layers = list(
             getattr(dataset, "multiomic_dataset", dataset).dat.keys()
