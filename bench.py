@@ -104,11 +104,12 @@ def bench_torch_cpu(gex, cnv, cls, epochs=EPOCHS):
     ta = torch.tensor(gex)
     tb = torch.tensor(cnv)
     ty = torch.tensor(cls).long()
-    n_batches = N_SAMPLES // BATCH
+    n = len(ty)
+    n_batches = n // BATCH
 
     t0 = time.perf_counter()
     for _ in range(epochs):
-        perm = torch.randperm(N_SAMPLES)[: n_batches * BATCH].reshape(n_batches, BATCH)
+        perm = torch.randperm(n)[: n_batches * BATCH].reshape(n_batches, BATCH)
         for idx in perm:
             opt.zero_grad()
             loss = ce(net(ta[idx], tb[idx]), ty[idx])
@@ -204,6 +205,285 @@ def bench_ig(gex, cnv, cls):
     return float(np.min(walls))
 
 
+def _make_dataset(gex, cnv, cls):
+    from flexynesis_tpu.data.dataset import MultiOmicDataset
+
+    n, g = gex.shape
+    c = cnv.shape[1]
+    return MultiOmicDataset(
+        dat={"gex": gex, "cnv": cnv},
+        ann={"subtype": cls},
+        variable_types={"subtype": "categorical"},
+        features={"gex": [f"g{i}" for i in range(g)],
+                  "cnv": [f"c{i}" for i in range(c)]},
+        samples=[f"S{i}" for i in range(n)],
+        label_mappings={"subtype": {i: f"grp{i}" for i in range(N_CLASSES)}},
+    )
+
+
+def bench_vae(k=32, n=1000, g=1000, c=500, epochs=10):
+    """supervised_vae: K vmapped trials vs one torch-CPU trial (same shapes:
+    per-modality Encoder -> FC_mean/log_var -> z -> Decoders, per-modality
+    MMD vs 200 prior draws + recon MSE + CE head). Returns dict."""
+    import jax
+    import torch
+    import torch.nn as nn
+
+    from flexynesis_tpu.models.supervised_vae import SupervisedVAE
+    from flexynesis_tpu.parallel.trials import ParallelTrials
+
+    rng = np.random.default_rng(1)
+    cls = rng.integers(0, N_CLASSES, n)
+    gex = (rng.normal(size=(n, g)) + 0.5 * cls[:, None]).astype(np.float32)
+    cnv = (rng.normal(size=(n, c)) + 0.3 * cls[:, None]).astype(np.float32)
+    ds = _make_dataset(gex, cnv, cls.astype(np.float32))
+    cfg = {"latent_dim": 32, "hidden_dim_factor": HIDDEN_FACTOR, "lr": 1e-3,
+           "supervisor_hidden_dim": SUP_HIDDEN, "epochs": epochs,
+           "batch_size": BATCH}
+    model = SupervisedVAE(cfg, ds, target_variables=["subtype"])
+    tr = np.arange(int(n * 0.8))
+    va = np.arange(int(n * 0.8), n)
+    pt = ParallelTrials(model, ds)
+    lrs, seeds = np.full(k, 1e-3), np.arange(k)
+    pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va, batch_size=BATCH,
+           max_epochs=epochs, epochs_per_eval=epochs)  # compile warm-up
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
+                     batch_size=BATCH, max_epochs=epochs,
+                     epochs_per_eval=epochs)
+        walls.append(time.perf_counter() - t0)
+        assert np.all(np.isfinite(out["best_val_loss"]))
+    tpu_wall = float(np.min(walls))
+
+    # torch-CPU single-trial equivalent
+    H1, H2, L = int(g * HIDDEN_FACTOR), int(c * HIDDEN_FACTOR), 32
+
+    class Enc(nn.Module):
+        def __init__(self, i, h):
+            super().__init__()
+            self.net = nn.Sequential(nn.Linear(i, h), nn.BatchNorm1d(h),
+                                     nn.LeakyReLU(0.2), nn.Dropout(0.1))
+            self.mu, self.lv = nn.Linear(h, L), nn.Linear(h, L)
+
+        def forward(self, x):
+            h = self.net(x)
+            return self.mu(h), self.lv(h)
+
+    class Dec(nn.Module):
+        def __init__(self, h, o):
+            super().__init__()
+            self.net = nn.Sequential(nn.Linear(L, h), nn.BatchNorm1d(h),
+                                     nn.LeakyReLU(0.2), nn.Linear(h, o))
+
+        def forward(self, z):
+            return self.net(z)
+
+    e1, e2 = Enc(g, H1), Enc(c, H2)
+    fm, fv = nn.Linear(2 * L, L), nn.Linear(2 * L, L)
+    d1, d2 = Dec(H1, g), Dec(H2, c)
+    head = nn.Sequential(nn.Linear(L, SUP_HIDDEN), nn.BatchNorm1d(SUP_HIDDEN),
+                         nn.ReLU(), nn.Linear(SUP_HIDDEN, N_CLASSES))
+    params = (list(e1.parameters()) + list(e2.parameters())
+              + list(fm.parameters()) + list(fv.parameters())
+              + list(d1.parameters()) + list(d2.parameters())
+              + list(head.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3)
+    ce = nn.CrossEntropyLoss()
+    ta, tb = torch.tensor(gex), torch.tensor(cnv)
+    ty = torch.tensor(cls).long()
+
+    def mmd(x, y):
+        def k(a, b):
+            d = a.shape[1]
+            sq = torch.cdist(a, b) ** 2
+            return torch.exp(-sq / (d * float(d))).mean()
+        return k(x, x) + k(y, y) - 2 * k(x, y)
+
+    nb = n // BATCH
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        perm = torch.randperm(n)[: nb * BATCH].reshape(nb, BATCH)
+        for idx in perm:
+            opt.zero_grad()
+            m1, v1 = e1(ta[idx]); m2, v2 = e2(tb[idx])
+            mu = fm(torch.cat([m1, m2], 1)); lv = fv(torch.cat([v1, v2], 1))
+            z = mu + lv * torch.randn_like(lv)
+            prior = torch.randn(200, L)
+            loss = (mmd(prior, z) + ((d1(z) - ta[idx]) ** 2).mean()
+                    + mmd(prior, z) + ((d2(z) - tb[idx]) ** 2).mean()) / 2
+            loss = loss + ce(head(z), ty[idx])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(params, 1.0)
+            opt.step()
+    torch_wall = time.perf_counter() - t0
+
+    # MMD hot-spot: Pallas fused kernel vs XLA at the training shape
+    from flexynesis_tpu.ops.losses import mmd_loss
+    from flexynesis_tpu.ops.pallas.mmd_kernel import mmd_loss_pallas
+
+    key = jax.random.key(0)
+    z = jax.random.normal(key, (BATCH, L))
+    xh = jax.random.normal(key, (BATCH, g))
+    x = jax.random.normal(key, (BATCH, g))
+    f_xla = jax.jit(mmd_loss)
+    f_pal = jax.jit(mmd_loss_pallas)
+    f_xla(key, z, xh, x).block_until_ready()
+    f_pal(key, z, xh, x).block_until_ready()
+
+    def best_of(f, r=20):
+        ws = []
+        for _ in range(r):
+            t0 = time.perf_counter()
+            f(key, z, xh, x).block_until_ready()
+            ws.append(time.perf_counter() - t0)
+        return float(np.min(ws))
+
+    return {
+        "tpu_trials_per_hour": round(k * 3600.0 / tpu_wall, 1),
+        "torch_cpu_trials_per_hour": round(3600.0 / torch_wall, 1),
+        "speedup": round(k * torch_wall / tpu_wall, 2),
+        "k_trials": k,
+        "mmd_xla_us": round(best_of(f_xla) * 1e6, 1),
+        "mmd_pallas_us": round(best_of(f_pal) * 1e6, 1),
+    }
+
+
+def bench_gnn(k=16, n=800, n_nodes=300, epochs=10):
+    """GNN (GC conv, 2 layers, ring+random graph): K vmapped trials vs one
+    torch-CPU trial using the same dense-operator formulation."""
+    import pandas as pd
+    import torch
+    import torch.nn as nn
+
+    from flexynesis_tpu.data.dataset import MultiOmicDataset, MultiOmicDatasetNW
+    from flexynesis_tpu.models.gnn import GNN
+    from flexynesis_tpu.parallel.trials import ParallelTrials
+
+    rng = np.random.default_rng(2)
+    cls = rng.integers(0, N_CLASSES, n)
+    genes = [f"g{i}" for i in range(n_nodes)]
+    X = (rng.normal(size=(n, n_nodes)) + 0.4 * cls[:, None]).astype(np.float32)
+    base = MultiOmicDataset(
+        dat={"gex": X}, ann={"subtype": cls.astype(np.float32)},
+        variable_types={"subtype": "categorical"},
+        features={"gex": genes}, samples=[f"S{i}" for i in range(n)],
+        label_mappings={"subtype": {i: f"grp{i}" for i in range(N_CLASSES)}},
+    )
+    src = np.concatenate([np.arange(n_nodes), rng.integers(0, n_nodes, n_nodes)])
+    dst = np.concatenate([(np.arange(n_nodes) + 1) % n_nodes,
+                          rng.integers(0, n_nodes, n_nodes)])
+    edges = pd.DataFrame({"protein1": [genes[i] for i in src],
+                          "protein2": [genes[i] for i in dst]})
+    nw = MultiOmicDatasetNW(base, edges)
+    E, L = 16, 32
+    cfg = {"latent_dim": L, "node_embedding_dim": E, "num_convs": 2,
+           "lr": 1e-3, "supervisor_hidden_dim": SUP_HIDDEN, "epochs": epochs,
+           "batch_size": BATCH, "activation": "relu"}
+    model = GNN(cfg, nw, target_variables=["subtype"], gnn_conv_type="GC")
+    tr = np.arange(int(n * 0.8))
+    va = np.arange(int(n * 0.8), n)
+    pt = ParallelTrials(model, nw)
+    lrs, seeds = np.full(k, 1e-3), np.arange(k)
+    pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va, batch_size=BATCH,
+           max_epochs=epochs, epochs_per_eval=epochs)
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
+                     batch_size=BATCH, max_epochs=epochs,
+                     epochs_per_eval=epochs)
+        walls.append(time.perf_counter() - t0)
+        assert np.all(np.isfinite(out["best_val_loss"]))
+    tpu_wall = float(np.min(walls))
+
+    # torch-CPU equivalent with the same dense aggregation operator
+    A = torch.tensor(np.asarray(model._adj))
+
+    class TorchGNN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.r1, self.n1 = nn.Linear(1, E), nn.Linear(1, E, bias=False)
+            self.b1 = nn.BatchNorm1d(n_nodes * E)
+            self.r2, self.n2 = nn.Linear(E, E), nn.Linear(E, E, bias=False)
+            self.b2 = nn.BatchNorm1d(n_nodes * E)
+            self.fc = nn.Linear(n_nodes * E, L)
+            self.head = nn.Sequential(
+                nn.Linear(L, SUP_HIDDEN), nn.BatchNorm1d(SUP_HIDDEN),
+                nn.ReLU(), nn.Linear(SUP_HIDDEN, N_CLASSES))
+            self.drop = nn.Dropout(0.2)
+
+        def forward(self, x):  # x: (B, nodes, 1)
+            B = x.shape[0]
+            h = self.r1(x) + self.n1(torch.einsum("nm,bmf->bnf", A, x))
+            h = self.drop(torch.relu(self.b1(h.reshape(B, -1)).reshape(B, n_nodes, E)))
+            h = self.r2(h) + self.n2(torch.einsum("nm,bmf->bnf", A, h))
+            h = self.drop(torch.relu(self.b2(h.reshape(B, -1)).reshape(B, n_nodes, E)))
+            return self.head(self.fc(h.reshape(B, -1)))
+
+    net = TorchGNN()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    ce = nn.CrossEntropyLoss()
+    tx = torch.tensor(X).unsqueeze(-1)
+    ty = torch.tensor(cls).long()
+    nb = n // BATCH
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        perm = torch.randperm(n)[: nb * BATCH].reshape(nb, BATCH)
+        for idx in perm:
+            opt.zero_grad()
+            loss = ce(net(tx[idx]), ty[idx])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(net.parameters(), 1.0)
+            opt.step()
+    torch_wall = time.perf_counter() - t0
+    return {
+        "tpu_trials_per_hour": round(k * 3600.0 / tpu_wall, 1),
+        "torch_cpu_trials_per_hour": round(3600.0 / torch_wall, 1),
+        "speedup": round(k * torch_wall / tpu_wall, 2),
+        "k_trials": k,
+        "n_nodes": n_nodes,
+    }
+
+
+def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
+    """Fine-tuner grid (3 lr x 3 freeze x 5 folds = 45 cells) vmapped vs the
+    reference's sequential loop (main.py:568-659), torch cost extrapolated
+    from one measured cell."""
+    from flexynesis_tpu.data.dataset import MultiOmicDataset
+    from flexynesis_tpu.models.direct_pred import DirectPred
+    from flexynesis_tpu.train.finetune import FineTuner
+
+    ds = _make_dataset(gex[:n_finetune], cnv[:n_finetune], cls[:n_finetune])
+    cfg = {"latent_dim": LATENT, "hidden_dim_factor": HIDDEN_FACTOR,
+           "lr": 1e-3, "supervisor_hidden_dim": SUP_HIDDEN, "epochs": epochs,
+           "batch_size": 32}
+    model = DirectPred(cfg, ds, target_variables=["subtype"])
+    model.init_params(ds)
+    ft = FineTuner(model, ds, max_epochs=epochs)
+    ft.run_experiments()  # warm-up compile
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ft = FineTuner(model, ds, max_epochs=epochs)
+        ft.run_experiments()
+        walls.append(time.perf_counter() - t0)
+    tpu_wall = float(np.min(walls))
+
+    # one torch-CPU cell at the same shapes, scaled to the 45-cell grid
+    torch_cell = bench_torch_cpu(gex[:n_finetune], cnv[:n_finetune],
+                                 cls[:n_finetune], epochs=epochs)
+    torch_grid = torch_cell * 45
+    return {
+        "tpu_grid_seconds": round(tpu_wall, 2),
+        "torch_cpu_grid_seconds_est": round(torch_grid, 1),
+        "speedup": round(torch_grid / tpu_wall, 2),
+        "grid_cells": 45,
+        "note": "torch cost = one measured cell x 45 (sequential reference loop)",
+    }
+
+
 def main():
     gex, cnv, cls = _synth()
 
@@ -223,6 +503,9 @@ def main():
             best_k, best_tph, best_wall = k, tph, wall
 
     ig_seconds = bench_ig(gex, cnv, cls)
+    vae = bench_vae()
+    gnn = bench_gnn()
+    finetuner = bench_finetuner(gex, cnv, cls)
 
     samples_per_sec = (
         best_k * EPOCHS * (n_train // BATCH) * BATCH / best_wall
@@ -253,6 +536,9 @@ def main():
             "n_samples": N_SAMPLES,
             "features": {"gex": GEX, "cnv": CNV},
             "ig_attribution_seconds": round(ig_seconds, 3),
+            "supervised_vae": vae,
+            "gnn": gnn,
+            "finetuner": finetuner,
         },
     }
     print(json.dumps(result))
