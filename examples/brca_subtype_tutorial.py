@@ -21,10 +21,13 @@ from flexynesis_tpu.utils.synthetic import write_synthetic_folder
 
 
 def main():
+    # FX_TUTORIAL_FAST=1 shrinks the run for CI smoke tests
+    fast = bool(os.environ.get("FX_TUTORIAL_FAST"))
+    n_train, n_test, epochs = (80, 40, 5) if fast else (200, 100, 30)
     workdir = tempfile.mkdtemp(prefix="fx_tutorial_")
     data_dir = os.path.join(workdir, "data")
     print(f"[1/6] Generating a synthetic 2-omic cohort under {data_dir}")
-    write_synthetic_folder(data_dir, n_train=200, n_test=100, seed=0)
+    write_synthetic_folder(data_dir, n_train=n_train, n_test=n_test, seed=0)
 
     print("[2/6] Importing + preprocessing (cleanup, Laplacian selection, scaling)")
     importer = fx.DataImporter(
@@ -40,12 +43,12 @@ def main():
         target_variables=["subtype"],
         surv_event_var="OS_STATUS",
         surv_time_var="OS_MONTHS",
-        n_iter=3,
+        n_iter=1 if fast else 3,
         early_stop_patience=5,
     )
     for d in tuner.space.dimensions:  # keep the tutorial fast
         if d.name == "epochs":
-            d.categories = [30]
+            d.categories = [epochs]
     model, best = tuner.perform_tuning()
     print("    best hyperparameters:", best)
 
