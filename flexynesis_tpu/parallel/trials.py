@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..ops.optim import trial_optimizer
+
 
 def _init_stacked(model, seeds):
     """Stack fresh per-seed parameter pytrees along a leading trial axis.
@@ -78,6 +80,7 @@ def vmapped_grid_fit(
     max_epochs: int = 50,
     early_stop_patience: int = -1,
     matmul_precision: str = "bfloat16",
+    moment_dtype: str = "bfloat16",
 ):
     """Train T trials with PER-TRIAL data splits concurrently under vmap.
 
@@ -95,10 +98,7 @@ def vmapped_grid_fit(
     per_sample = {k: v for k, v in data.items() if not k.startswith("_")}
 
     loss_fn = model.loss_fn
-    tx = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-    )
+    tx = trial_optimizer(moment_dtype)
     n_tr = train_idx.shape[1]
     batch_size = min(batch_size, n_tr)
     n_batches = max(n_tr // batch_size, 1)
@@ -215,22 +215,23 @@ def equal_kfold_indices(n: int, k: int, seed: int = 42):
 class ParallelTrials:
     """Train K same-shape trials of one model template concurrently."""
 
-    def __init__(self, model, dataset, mesh=None, matmul_precision="bfloat16"):
+    def __init__(self, model, dataset, mesh=None, matmul_precision="bfloat16",
+                 moment_dtype="bfloat16"):
         # bf16 matmul passes are the TPU analog of the reference's
-        # torch.set_float32_matmul_precision("medium") (main.py:24)
+        # torch.set_float32_matmul_precision("medium") (main.py:24);
+        # bf16 Adam moments halve the HBM-bound optimizer traffic
+        # (ops/optim.py — float32 math, rounded storage)
         self.model = model
         self.dataset = dataset
         self.mesh = mesh
         self.matmul_precision = matmul_precision
+        self.moment_dtype = moment_dtype
         self._train_chunk = None
         self._tx = None
 
     def _build(self):
         loss_fn = self.model.loss_fn
-        tx = optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        )
+        tx = trial_optimizer(self.moment_dtype)
 
         def train_step(carry, batch_idx, data):
             params, opt_state, batch_stats, rng, lr = carry
