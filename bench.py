@@ -13,7 +13,7 @@ sequentially — the same compute the reference performs per trial
 Ours: K trials trained concurrently via vmap (parallel/trials.py) on the
 TPU chip. Scale: n=2000 samples, gex=2000 + cnv=1000 features (post-
 feature-selection BRCA-like), latent 64. The bench sweeps the trial count
-K (16..256) and reports the best point; K=384 exhausts v5e HBM.
+K (16..384) and reports the best point; K=512 exhausts v5e HBM.
 
 Roofline accounting (v5e: 197 bf16 TFLOP/s, 819 GB/s HBM): this workload
 is HBM-bound, not MXU-bound. Per trial-step at batch 64 with float32
@@ -58,7 +58,8 @@ SUP_HIDDEN = 16
 BATCH = 64
 EPOCHS = 10
 N_CLASSES = 4
-K_SWEEP = (16, 64, 128, 256)  # 384 exceeds v5e-1 HBM at these shapes
+K_SWEEP = (16, 64, 128, 256, 384)  # 512 exceeds v5e-1 HBM at these shapes
+# (bf16 Adam moments freed enough HBM for K=384; 512 still OOMs)
 # fwd matmul params: gex 2000x600+600x64, cnv 1000x300+300x64, fuse 128x64,
 # head 64x16+16x4; fwd+bwd ~= 3x fwd = 3 * 2 * params
 FLOP_PER_SAMPLE = 3 * 2 * (
