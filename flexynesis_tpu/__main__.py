@@ -40,8 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                  "RandomSurvivalForest"],
         help="Model class to instantiate",
     )
-    p.add_argument("--gnn_conv_type", type=str, choices=["GC", "GCN", "SAGE"],
-                   help="Graph convolution type for GNN")
+    p.add_argument("--gnn_conv_type", type=str,
+                   choices=["GC", "GCN", "SAGE", "GAT"],
+                   help="Graph convolution type for GNN (GAT is a TPU-build "
+                        "extension; the reference CLI stops at SAGE)")
     p.add_argument("--target_variables", type=str, default=None,
                    help="clin.csv variables to predict (comma-separated)")
     p.add_argument("--covariates", type=str, default=None,

@@ -98,8 +98,12 @@ class DenseGraphConvLayer(nn.Module):
             )
             mask = adj[None, :, :] > 0
             scores = jnp.where(mask, scores, -jnp.inf)
-            alpha = jnp.where(
-                mask, nn.softmax(scores, axis=-1, where=mask, initial=0.0), 0.0
+            # explicit masked softmax (rows with no neighbours -> all-zero)
+            smax = jnp.max(scores, axis=-1, keepdims=True)
+            smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+            expd = jnp.where(mask, jnp.exp(scores - smax), 0.0)
+            alpha = expd / jnp.maximum(
+                jnp.sum(expd, axis=-1, keepdims=True), 1e-9
             )
             out = jnp.einsum(
                 "bnm,bmf->bnf", alpha, h, preferred_element_type=jnp.float32

@@ -147,7 +147,10 @@ def vmapped_grid_fit(
         _, (losses, _) = loss_fn(params, stats, val_batch, None, False)
         return params, opt_state, stats, rng, sum(losses.values())
 
-    @jax.jit
+    # donate the per-epoch carried buffers (params/opt/stats/rngs) — they are
+    # reassigned from the outputs every epoch, so XLA can update in place
+    # instead of double-buffering the largest arrays
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def epoch_vmapped(params, opt_state, stats, rngs, lrs, masks, tr, va, aux):
         return jax.vmap(one_trial_epoch)(
             params, opt_state, stats, rngs, lrs, masks, tr, va, aux

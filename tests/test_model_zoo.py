@@ -136,7 +136,7 @@ def _make_nw(train_ds, n_edges=300, seed=0):
 
 
 class TestGNN:
-    @pytest.mark.parametrize("conv", ["GC", "GCN", "SAGE"])
+    @pytest.mark.parametrize("conv", ["GC", "GCN", "SAGE", "GAT"])
     def test_conv_types_train(self, datasets, conv):
         train_ds, test_ds = datasets
         nw_train = _make_nw(train_ds)
