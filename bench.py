@@ -460,6 +460,79 @@ def bench_gnn(k=384, n=800, n_nodes=300, epochs=10):
     }
 
 
+def bench_inference(gex, cnv, cls, repeats=5, stream_len=20):
+    """Serving-style batch inference: eval-forward samples/s on the full
+    cohort for a trained DirectPred, vs the equivalent torch-CPU forward.
+
+    The TPU side times a device-resident stream (``stream_len`` cohort
+    forwards inside one jitted scan) — this environment's remote-dispatch
+    tunnel adds ~150 ms per call, which would otherwise swamp the ~1 ms
+    forward and measure the tunnel, not the chip."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as nn
+
+    from flexynesis_tpu.models.direct_pred import DirectPred
+
+    ds = _make_dataset(gex, cnv, cls)
+    cfg = {"latent_dim": LATENT, "hidden_dim_factor": HIDDEN_FACTOR,
+           "lr": 1e-3, "supervisor_hidden_dim": SUP_HIDDEN, "epochs": 1,
+           "batch_size": BATCH}
+    model = DirectPred(cfg, ds, target_variables=["subtype"])
+    model.init_params(ds)
+    x = {"gex": jnp.asarray(gex), "cnv": jnp.asarray(cnv)}
+    variables = {"params": model.params, "batch_stats": model.batch_stats}
+
+    @jax.jit
+    def stream(variables, x):
+        def body(acc, _):
+            # tiny carry-dependent perturbation stops XLA hoisting the
+            # loop-invariant forward out of the scan
+            xi = jax.tree.map(lambda a: a + acc * 1e-30, x)
+            out = model.module.apply(variables, xi, train=False)
+            return acc + out["outputs"]["subtype"].sum(), ()
+        return jax.lax.scan(body, 0.0, None, length=stream_len)[0]
+
+    with jax.default_matmul_precision("bfloat16"):
+        float(stream(variables, x))  # compile warm-up
+        walls = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            assert np.isfinite(float(stream(variables, x)))
+            walls.append(time.perf_counter() - t0)
+    tpu_sps = stream_len * N_SAMPLES / float(np.min(walls))
+
+    def mlp(i, h, o):
+        return nn.Sequential(
+            nn.Linear(i, h), nn.BatchNorm1d(h), nn.ReLU(), nn.Dropout(0.1),
+            nn.Linear(h, o),
+        )
+
+    net = nn.ModuleDict({
+        "e1": mlp(GEX, int(GEX * HIDDEN_FACTOR), LATENT),
+        "e2": mlp(CNV, int(CNV * HIDDEN_FACTOR), LATENT),
+        "fuse": nn.Linear(2 * LATENT, LATENT),
+        "head": mlp(LATENT, SUP_HIDDEN, N_CLASSES),
+    }).eval()
+    ta, tb = torch.tensor(gex), torch.tensor(cnv)
+    with torch.no_grad():
+        net["head"](net["fuse"](torch.cat(
+            [net["e1"](ta), net["e2"](tb)], dim=1)))  # warm-up
+        tws = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            net["head"](net["fuse"](torch.cat(
+                [net["e1"](ta), net["e2"](tb)], dim=1)))
+            tws.append(time.perf_counter() - t0)
+    torch_sps = N_SAMPLES / float(np.min(tws))
+    return {
+        "tpu_samples_per_sec": round(tpu_sps, 0),
+        "torch_cpu_samples_per_sec": round(torch_sps, 0),
+        "speedup": round(tpu_sps / torch_sps, 2),
+    }
+
+
 def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10):
     """Production-scale single DirectPred (16k-feature encoder, batch 1024):
     unlike the many-tiny-trials HPO path (HBM-bound by optimizer traffic),
@@ -582,6 +655,7 @@ def main():
     gnn = bench_gnn()
     finetuner = bench_finetuner(gex, cnv, cls)
     large = bench_large_model()
+    inference = bench_inference(gex, cnv, cls)
 
     samples_per_sec = (
         best_k * EPOCHS * (n_train // BATCH) * BATCH / best_wall
@@ -616,6 +690,7 @@ def main():
             "gnn": gnn,
             "finetuner": finetuner,
             "large_single_model": large,
+            "batch_inference": inference,
         },
     }
     print(json.dumps(result))
