@@ -633,6 +633,9 @@ def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
 
 
 def main():
+    import os
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 450))
     gex, cnv, cls = _synth()
 
     torch_trial_s = bench_torch_cpu(gex, cnv, cls)
@@ -650,12 +653,24 @@ def main():
         if tph > best_tph:
             best_k, best_tph, best_wall = k, tph, wall
 
-    ig_seconds = bench_ig(gex, cnv, cls)
-    vae = bench_vae()
-    gnn = bench_gnn()
-    finetuner = bench_finetuner(gex, cnv, cls)
-    large = bench_large_model()
-    inference = bench_inference(gex, cnv, cls)
+    # optional extras run cheapest-first under a soft wall-clock budget:
+    # the shared tunnel's contention swings (2-4x) must never push the run
+    # past the driver's timeout without emitting the headline JSON line
+    def _maybe(name, fn):
+        if time.perf_counter() - t_start > budget_s:
+            return {"skipped_for_budget": True}
+        try:
+            return fn()
+        except Exception as e:  # a failed extra must not kill the headline
+            return {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    inference = _maybe("inference", lambda: bench_inference(gex, cnv, cls))
+    ig = _maybe("ig", lambda: {"s": bench_ig(gex, cnv, cls)})
+    finetuner = _maybe("finetuner", lambda: bench_finetuner(gex, cnv, cls))
+    vae = _maybe("vae", bench_vae)
+    gnn = _maybe("gnn", bench_gnn)
+    large = _maybe("large", bench_large_model)
+    ig_seconds = ig.get("s", float("nan"))
 
     samples_per_sec = (
         best_k * EPOCHS * (n_train // BATCH) * BATCH / best_wall
@@ -685,7 +700,7 @@ def main():
             "epochs_per_trial": EPOCHS,
             "n_samples": N_SAMPLES,
             "features": {"gex": GEX, "cnv": CNV},
-            "ig_attribution_seconds": round(ig_seconds, 3),
+            "ig_attribution_seconds": round(ig_seconds, 3) if ig_seconds == ig_seconds else ig,
             "supervised_vae": vae,
             "gnn": gnn,
             "finetuner": finetuner,
