@@ -87,7 +87,10 @@ def bench_torch_cpu(gex, cnv, cls, epochs=EPOCHS):
     import torch
     import torch.nn as nn
 
-    torch.set_num_threads(max(torch.get_num_threads(), 4))
+    # this container exposes a single CPU (nproc=1): oversubscribed OpenMP
+    # threads degrade large GEMMs ~100x, so give torch its best config
+    import os as _os
+    torch.set_num_threads(max(1, _os.cpu_count() or 1))
 
     def mlp(i, h, o):
         return nn.Sequential(
@@ -635,7 +638,7 @@ def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
 def main():
     import os
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 450))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 420))
     gex, cnv, cls = _synth()
 
     torch_trial_s = bench_torch_cpu(gex, cnv, cls)
@@ -666,9 +669,9 @@ def main():
 
     inference = _maybe("inference", lambda: bench_inference(gex, cnv, cls))
     ig = _maybe("ig", lambda: {"s": bench_ig(gex, cnv, cls)})
-    finetuner = _maybe("finetuner", lambda: bench_finetuner(gex, cnv, cls))
     vae = _maybe("vae", bench_vae)
     gnn = _maybe("gnn", bench_gnn)
+    finetuner = _maybe("finetuner", lambda: bench_finetuner(gex, cnv, cls))
     large = _maybe("large", bench_large_model)
     ig_seconds = ig.get("s", float("nan"))
 
