@@ -26,6 +26,7 @@ def _run_tutorial(name, monkeypatch):
         "brca_subtype_tutorial",
         "survival_subtypes_tutorial",
         "gnn_custom_networks_tutorial",
+        "crossmodal_translation_tutorial",
     ],
 )
 def test_tutorial_runs(name, monkeypatch):
