@@ -17,6 +17,7 @@ This is the ≥20x HPO wall-clock lever called out in BASELINE.md.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict
 
@@ -313,6 +314,7 @@ class ParallelTrials:
         max_epochs: int,
         early_stop_patience: int = -1,
         epochs_per_eval: int = 5,
+        checkpoint_dir: str = None,
     ) -> Dict[str, np.ndarray]:
         """Train len(lrs) trials; returns per-trial best val losses + epochs.
 
@@ -321,6 +323,11 @@ class ParallelTrials:
         split. ``epochs_per_eval`` epochs run fully on device per host sync;
         early stopping is checked at every epoch boundary from the returned
         per-epoch val losses.
+
+        ``checkpoint_dir`` extends the preemption story (SURVEY §5.3/5.4) to
+        the trial fan-out: the whole stacked round state saves through orbax
+        after every chunk, and a rerun of the same round resumes mid-round
+        instead of retraining K trials from scratch.
         """
         if self._train_chunk is None:
             self._build()
@@ -362,6 +369,92 @@ class ParallelTrials:
         stall = np.zeros(K, dtype=int)
         epochs_run = 0
         chunk = max(int(epochs_per_eval), 1)
+
+        manager = None
+        if checkpoint_dir is not None:
+            import hashlib
+
+            import orbax.checkpoint as ocp
+
+            # round identity: resuming a DIFFERENT round (other lrs/seeds/
+            # schedule) from a same-shaped stale checkpoint would silently
+            # return the previous round's results
+            fp = hashlib.sha256(
+                np.asarray(lrs, np.float64).tobytes()
+                + np.asarray(seeds, np.int64).tobytes()
+                + np.asarray([batch_size, max_epochs], np.int64).tobytes()
+                + np.asarray(train_idx).tobytes()
+            ).hexdigest()[:16]
+            fp_arr = np.frombuffer(bytes.fromhex(fp), dtype=np.uint8).copy()
+            manager = ocp.CheckpointManager(
+                os.path.abspath(checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1,
+                                                     create=True),
+            )
+            step = manager.latest_step()
+            if step is not None:
+                try:
+                    state = manager.restore(step)
+                    if int(np.asarray(state["meta"]["k"])) != K:
+                        raise ValueError("trial count changed")
+                    if not np.array_equal(
+                        np.asarray(state["meta"]["fingerprint"]), fp_arr
+                    ):
+                        raise ValueError("different trial round")
+                    restored = jax.tree.map(jnp.asarray, state["params"])
+                    chex_shapes = jax.tree.map(
+                        lambda a, b: a.shape == b.shape, restored, params
+                    )
+                    if not all(jax.tree.leaves(chex_shapes)):
+                        raise ValueError("parameter shapes changed")
+                    new_opt = jax.tree_util.tree_unflatten(
+                        jax.tree.structure(opt_state),
+                        [jnp.asarray(x) for x in
+                         jax.tree.leaves(state["opt_state"])],
+                    )
+                    new_stats = jax.tree.map(jnp.asarray,
+                                             state["batch_stats"])
+                    new_rngs = jax.random.wrap_key_data(
+                        jnp.asarray(state["rngs"]))
+                    params, opt_state, batch_stats, rngs = (
+                        restored, new_opt, new_stats, new_rngs)
+                    if self.mesh is not None:
+                        from .mesh import shard_leading_axis, trial_sharding
+
+                        sh = trial_sharding(self.mesh)
+                        params = shard_leading_axis(params, sh)
+                        opt_state = shard_leading_axis(opt_state, sh)
+                        batch_stats = shard_leading_axis(batch_stats, sh)
+                    best = np.asarray(state["best"])
+                    best_epoch = np.asarray(state["best_epoch"])
+                    stall = np.asarray(state["stall"])
+                    epochs_run = int(np.asarray(state["meta"]["epochs_run"]))
+                    print(f"[INFO] Resumed trial round from epoch "
+                          f"{epochs_run} ({checkpoint_dir})")
+                except Exception as e:  # stale/mismatched round: start fresh
+                    print(f"[WARN] Trial-round checkpoint not resumable "
+                          f"({e}); starting fresh")
+
+        def _save_round(epochs_run):
+            import orbax.checkpoint as ocp
+
+            # host copies: the device buffers are donated into the next
+            # chunk, so they must not be serialized in-flight
+            host = jax.tree.map(np.asarray, {
+                "params": params,
+                "opt_state": opt_state,
+                "batch_stats": batch_stats,
+                "rngs": jax.random.key_data(rngs),
+                "best": best,
+                "best_epoch": best_epoch,
+                "stall": stall,
+            })
+            host["meta"] = {"epochs_run": np.asarray(epochs_run),
+                            "k": np.asarray(K),
+                            "fingerprint": fp_arr}
+            manager.save(epochs_run, args=ocp.args.StandardSave(host))
+            manager.wait_until_finished()
+
         while epochs_run < max_epochs:
             n_epochs = min(chunk, max_epochs - epochs_run)
             with jax.default_matmul_precision(self.matmul_precision):
@@ -385,8 +478,16 @@ class ParallelTrials:
                 ):
                     stop = True
                     break
+            if manager is not None:
+                _save_round(epochs_run)
             if stop:
                 break
+        if manager is not None:
+            # the round finished: drop its checkpoint so the next round
+            # (possibly same-shaped) starts fresh
+            for s in list(manager.all_steps()):
+                manager.delete(s)
+            manager.close()
 
         return {
             "best_val_loss": best,

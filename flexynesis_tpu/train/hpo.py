@@ -348,6 +348,10 @@ class HyperparameterTuning:
             batch_size=int(group[0]["batch_size"]),
             max_epochs=int(group[0]["epochs"]),
             early_stop_patience=self.early_stop_patience,
+            # preemption safety inside a round: the stacked trial state
+            # checkpoints per chunk next to the JSON HPO state
+            checkpoint_dir=(self.checkpoint_path + ".round"
+                            if self.checkpoint_path else None),
         )
         # models are not retained per-trial; the best config retrains at the
         # end of perform_tuning (full_train path)
