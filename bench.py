@@ -581,7 +581,10 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10):
     # contention swings would make min(long)-min(short) overestimate.
     run(epochs), run(4 * epochs)  # compile warm-ups for both chunk shapes
     diffs = sorted(run(4 * epochs) - run(epochs) for _ in range(3))
-    wall = max(diffs[len(diffs) // 2], 1e-6)
+    wall = diffs[len(diffs) // 2]
+    if wall <= 0:  # contention stalled a short run: flag, don't fabricate
+        return {"measurement_unstable": True,
+                "paired_diffs_s": [round(d, 3) for d in diffs]}
     hidden = int(g * HIDDEN_FACTOR)
     flop_per_sample = 3 * 2 * (
         g * hidden + hidden * latent + latent * SUP_HIDDEN
@@ -661,11 +664,12 @@ def main():
     # past the driver's timeout without emitting the headline JSON line
     def _maybe(name, fn):
         if time.perf_counter() - t_start > budget_s:
-            return {"skipped_for_budget": True}
+            return {"section": name, "skipped_for_budget": True}
         try:
             return fn()
         except Exception as e:  # a failed extra must not kill the headline
-            return {"error": f"{type(e).__name__}: {e}"[:200]}
+            return {"section": name,
+                    "error": f"{type(e).__name__}: {e}"[:200]}
 
     inference = _maybe("inference", lambda: bench_inference(gex, cnv, cls))
     ig = _maybe("ig", lambda: {"s": bench_ig(gex, cnv, cls)})

@@ -73,6 +73,8 @@ def main():
     risk, time, event = risk[keep], time[keep], event[keep]
 
     cutoff, cutoff_p = find_optimal_cutoff(risk, time, event)
+    if cutoff is None:  # near-constant risk scores: fall back to the median
+        cutoff, cutoff_p = float(np.median(risk)), float("nan")
     hi = risk > cutoff
     lr = logrank_test(time[hi], time[~hi], event[hi], event[~hi])
     print(f"    cutoff={cutoff:.4f} (p={cutoff_p:.3g})  "
@@ -113,7 +115,9 @@ def main():
     cox_df = cox_df.dropna()
 
     cox, metrics = build_cox_model(cox_df, "OS_MONTHS", "OS_STATUS")
-    print(f"    5-fold CV C-index: {metrics['cv_cindex_mean']:.3f}")
+    ci = metrics["cv_cindex_mean"]
+    print(f"    5-fold CV C-index: {ci:.3f}" if ci is not None
+          else "    5-fold CV C-index: n/a")
     print(cox.summary.to_string())
     print(f"\nDone. Artifacts in {workdir}")
 

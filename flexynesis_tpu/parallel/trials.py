@@ -161,7 +161,11 @@ def vmapped_grid_fit(
         first = jax.tree_util.tree_leaves(start_params)[0]
         already_stacked = hasattr(first, "shape") and first.shape[:1] == (T,)
         if already_stacked:
-            params, stats = start_params, start_stats
+            # defensive copy: the epoch fn donates these buffers, which
+            # would otherwise invalidate the caller's arrays
+            copy = lambda tree: jax.tree.map(lambda a: jnp.asarray(a).copy(),
+                                             tree)
+            params, stats = copy(start_params), copy(start_stats)
         else:
             bcast = lambda tree: jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (T,) + a.shape).copy(), tree
@@ -382,8 +386,13 @@ class ParallelTrials:
             fp = hashlib.sha256(
                 np.asarray(lrs, np.float64).tobytes()
                 + np.asarray(seeds, np.int64).tobytes()
-                + np.asarray([batch_size, max_epochs], np.int64).tobytes()
+                + np.asarray(
+                    [batch_size, max_epochs, chunk, early_stop_patience],
+                    np.int64,
+                ).tobytes()
                 + np.asarray(train_idx).tobytes()
+                + np.asarray(val_idx).tobytes()
+                + self.moment_dtype.encode()
             ).hexdigest()[:16]
             fp_arr = np.frombuffer(bytes.fromhex(fp), dtype=np.uint8).copy()
             manager = ocp.CheckpointManager(
@@ -478,7 +487,10 @@ class ParallelTrials:
                 ):
                     stop = True
                     break
-            if manager is not None:
+            round_done = stop or epochs_run >= max_epochs
+            if manager is not None and not round_done:
+                # no save on the final chunk: the checkpoint would be
+                # deleted immediately below
                 _save_round(epochs_run)
             if stop:
                 break

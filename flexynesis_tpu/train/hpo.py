@@ -340,6 +340,19 @@ class HyperparameterTuning:
             f"[INFO] Training {len(group)} same-architecture trials "
             "concurrently (vmapped)"
         )
+        # preemption safety inside a round: the stacked trial state
+        # checkpoints per chunk next to the JSON HPO state. Each group gets
+        # its own directory (keyed by its suggestions) so replaying earlier
+        # groups after a restart cannot clobber the preempted group's state.
+        ckpt_dir = None
+        if self.checkpoint_path:
+            import hashlib
+            import json as _json
+
+            digest = hashlib.sha256(
+                _json.dumps(group, sort_keys=True, default=str).encode()
+            ).hexdigest()[:12]
+            ckpt_dir = f"{self.checkpoint_path}.round-{digest}"
         out = pt.run(
             lrs=lrs,
             seeds=seeds,
@@ -348,11 +361,12 @@ class HyperparameterTuning:
             batch_size=int(group[0]["batch_size"]),
             max_epochs=int(group[0]["epochs"]),
             early_stop_patience=self.early_stop_patience,
-            # preemption safety inside a round: the stacked trial state
-            # checkpoints per chunk next to the JSON HPO state
-            checkpoint_dir=(self.checkpoint_path + ".round"
-                            if self.checkpoint_path else None),
+            checkpoint_dir=ckpt_dir,
         )
+        if ckpt_dir is not None:
+            import shutil
+
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
         # models are not retained per-trial; the best config retrains at the
         # end of perform_tuning (full_train path)
         return [
