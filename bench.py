@@ -26,11 +26,15 @@ removed — optimizer state traffic is ~62% of wall time; replacing
 per-step random-row gathers with contiguous slices saves only ~7%.
 Storing the Adam moments in bfloat16 (ops/optim.py, f32 math / rounded
 storage) cuts the step traffic to ~39 MB and measures 1.22x faster at
-K=256 with identical convergence (mean val loss 0.368 vs 0.369) — this
-is now the default in the trial engines. A fused Pallas MLP cannot
-remove the remaining weight/moment/grad traffic that dominates, which is
-why the perf lever here is trial fan-out (K) + state compression, not
-kernel fusion. MFU is reported for reference but is not the binding
+K=256 with identical convergence (mean val loss 0.368 vs 0.369).
+Storing the large PARAMETER leaves in bfloat16 as well — with hash-based
+stochastic rounding so the quantization is unbiased (ops/sr_adam.py) —
+cuts it to ~27 MB: 1.30x over the f32 engine at K=256, again with
+identical convergence, and the freed HBM fits K=512 on one chip. Both
+are trial-engine defaults. A fused Pallas MLP cannot remove the
+remaining weight/moment/grad traffic that dominates, which is why the
+perf lever here is trial fan-out (K) + state compression, not kernel
+fusion. MFU is reported for reference but is not the binding
 constraint at HPO shapes: the same training pipeline at production scale
 (16k-feature encoder, batch 1024 — bench_large_model) reaches 40-50% MFU
 (~165-320k samples/s across tunnel-contention conditions), i.e. the low
@@ -62,8 +66,9 @@ SUP_HIDDEN = 16
 BATCH = 64
 EPOCHS = 10
 N_CLASSES = 4
-K_SWEEP = (16, 128, 256, 384)  # 512 exceeds v5e-1 HBM at these shapes
-# (bf16 Adam moments freed enough HBM for K=384; 512 still OOMs)
+K_SWEEP = (16, 128, 256, 384, 512)  # 768 exceeds v5e-1 HBM at these shapes
+# (bf16 Adam moments freed HBM for K=384; stochastically-rounded bf16
+# params (ops/sr_adam.py) freed enough for K=512)
 # fwd matmul params: gex 2000x600+600x64, cnv 1000x300+300x64, fuse 128x64,
 # head 64x16+16x4; fwd+bwd ~= 3x fwd = 3 * 2 * params
 FLOP_PER_SAMPLE = 3 * 2 * (
