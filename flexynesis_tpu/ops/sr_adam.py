@@ -96,7 +96,8 @@ def global_norm_f32(tree):
     ))
 
 
-def sr_adam_step(params, state, grads, lr, seed, *, grad_clip: float = 1.0,
+def sr_adam_step(params, state, grads, lr, seed, *, masks=None,
+                 grad_clip: float = 1.0,
                  b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
     """One Adam step over a mixed bf16/f32 param pytree; math in float32,
     bf16 leaves re-stored with stochastic rounding.
@@ -104,7 +105,11 @@ def sr_adam_step(params, state, grads, lr, seed, *, grad_clip: float = 1.0,
     ``lr`` may be a traced scalar (per-trial under vmap); ``seed`` is a
     traced uint32 scalar that must differ per step and per trial.
     Global-norm clipping (reference parity: clip 1.0 before Adam) folds in
-    as a scalar gradient scale. Returns (params', state').
+    as a scalar gradient scale. ``masks`` (optional pytree of scalar or
+    element 0/1 masks, as in the heterogeneous-trial engine) multiplies
+    the update; exactly-zero masked parameters stay exactly zero under SR
+    (adding sub-ulp bits to +0.0 truncates back to +0.0).
+    Returns (params', state').
     """
     m, v, count = state
     count = count + jnp.uint32(1)
@@ -118,15 +123,19 @@ def sr_adam_step(params, state, grads, lr, seed, *, grad_clip: float = 1.0,
     leaves_m = jax.tree.leaves(m)
     leaves_v = jax.tree.leaves(v)
     leaves_g = jax.tree.leaves(grads)
+    leaves_k = (jax.tree.leaves(masks) if masks is not None
+                else [None] * len(leaves_p))
 
     new_p, new_m, new_v = [], [], []
-    for i, (lp, lm, lv, lg) in enumerate(
-        zip(leaves_p, leaves_m, leaves_v, leaves_g)
+    for i, (lp, lm, lv, lg, lk) in enumerate(
+        zip(leaves_p, leaves_m, leaves_v, leaves_g, leaves_k)
     ):
         g32 = lg.astype(jnp.float32) * gscale
         m32 = b1 * lm.astype(jnp.float32) + (1.0 - b1) * g32
         v32 = b2 * lv.astype(jnp.float32) + (1.0 - b2) * g32 * g32
         u = (m32 / b1c) / (jnp.sqrt(v32 / b2c) + eps)
+        if lk is not None:
+            u = u * lk
         p32 = lp.astype(jnp.float32) - lr * u
         if lp.dtype == jnp.bfloat16:
             leaf_seed = seed + jnp.uint32(i) * _P2 + count * _P3

@@ -82,6 +82,7 @@ def vmapped_grid_fit(
     early_stop_patience: int = -1,
     matmul_precision: str = "bfloat16",
     moment_dtype: str = "bfloat16",
+    param_dtype: str = "float32",
 ):
     """Train T trials with PER-TRIAL data splits concurrently under vmap.
 
@@ -112,6 +113,12 @@ def vmapped_grid_fit(
     else:
         masks_tree = masks
 
+    sr = param_dtype == "bfloat16_sr"
+    cast32 = (
+        (lambda p: jax.tree.map(lambda a: a.astype(jnp.float32), p))
+        if sr else (lambda p: p)
+    )
+
     def one_trial_epoch(params, opt_state, stats, rng, lr, mask, tr_i, va_i,
                         aux_i):
         def step(carry, batch_idx):
@@ -124,14 +131,25 @@ def vmapped_grid_fit(
                 batch["_aux"] = aux_i
 
             def wrapped(p):
-                return loss_fn(p, stats, batch, srng, True)
+                return loss_fn(cast32(p), stats, batch, srng, True)
 
             (_, (_, new_stats)), grads = jax.value_and_grad(
                 wrapped, has_aux=True
             )(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            updates = jax.tree.map(lambda u, m: -lr * u * m, updates, mask)
-            params = optax.apply_updates(params, updates)
+            if sr:
+                from ..ops.sr_adam import sr_adam_step
+
+                rng, sr_rng = jax.random.split(rng)
+                seed32 = jax.random.bits(sr_rng, (), jnp.uint32)
+                params, opt_state = sr_adam_step(
+                    params, opt_state, grads, lr, seed32, masks=mask
+                )
+            else:
+                updates, opt_state = tx.update(grads, opt_state, params)
+                updates = jax.tree.map(
+                    lambda u, m: -lr * u * m, updates, mask
+                )
+                params = optax.apply_updates(params, updates)
             return (params, opt_state, new_stats, rng), None
 
         rng, prng = jax.random.split(rng)
@@ -145,7 +163,7 @@ def vmapped_grid_fit(
         val_batch.update(static)
         if aux_i is not None:
             val_batch["_aux"] = aux_i
-        _, (losses, _) = loss_fn(params, stats, val_batch, None, False)
+        _, (losses, _) = loss_fn(cast32(params), stats, val_batch, None, False)
         return params, opt_state, stats, rng, sum(losses.values())
 
     # donate the per-epoch carried buffers (params/opt/stats/rngs) — they are
@@ -174,7 +192,17 @@ def vmapped_grid_fit(
             stats = bcast(start_stats)
     else:
         params, stats = _init_stacked(model, seeds)
-    opt_state = jax.vmap(tx.init)(params)
+    if sr:
+        from ..ops.sr_adam import SR_MIN_SIZE, sr_adam_init
+
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.size // T >= SR_MIN_SIZE else a,
+            params,
+        )
+        opt_state = jax.vmap(sr_adam_init)(params)
+    else:
+        opt_state = jax.vmap(tx.init)(params)
     rngs = jax.vmap(jax.random.key)(jnp.asarray(np.asarray(seeds), jnp.uint32))
     lrs_dev = jnp.asarray(lrs, jnp.float32)
     tr = jnp.asarray(train_idx)

@@ -320,6 +320,10 @@ class HyperparameterTuning:
             batch_size=int(group[0]["batch_size"]),
             max_epochs=int(group[0]["epochs"]),
             early_stop_patience=self.early_stop_patience,
+            # fresh-init rounds: stochastically-rounded bf16 params are
+            # convergence-equivalent and ~1.3x faster (ops/sr_adam.py);
+            # warm-started fits (fine-tuner) keep float32
+            param_dtype="bfloat16_sr",
         )
         return [
             (float(out["best_val_loss"][k]), int(out["best_epoch"][k]), None)

@@ -124,3 +124,45 @@ class TestEngineParity:
             losses["bfloat16_sr"]
             < np.maximum(losses["float32"] * 1.15, 0.25)
         )
+
+
+class TestHeteroSR:
+    def test_mixed_arch_round_with_sr_params(self, rng):
+        """A padded mixed-architecture group trains under bf16-SR storage;
+        masked (padded) regions stay exact and losses converge."""
+        from flexynesis_tpu.data.dataset import MultiOmicDataset
+        from flexynesis_tpu.models.direct_pred import DirectPred
+        from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
+        from flexynesis_tpu.parallel.trials import vmapped_grid_fit
+
+        n, f = 96, 512
+        cls = rng.integers(0, 2, n)
+        X = (rng.normal(size=(n, f)) + 1.5 * cls[:, None]).astype(np.float32)
+        ds = MultiOmicDataset(
+            dat={"gex": X},
+            ann={"y": cls.astype(np.float32)},
+            variable_types={"y": "categorical"},
+            features={"gex": [f"g{i}" for i in range(f)]},
+            samples=[f"S{i}" for i in range(n)],
+            label_mappings={"y": {0: "a", 1: "b"}},
+        )
+        base = {"hidden_dim_factor": 0.5, "lr": 5e-3,
+                "supervisor_hidden_dim": 8, "epochs": 8, "batch_size": 32}
+        cfgs = [dict(base, latent_dim=8), dict(base, latent_dim=16)]
+        tmpl = dict(cfgs[0])
+        tmpl.update(max_config(cfgs, [f]))
+        template = DirectPred(tmpl, ds, target_variables=["y"])
+        trials = build_padded_trials(template, cfgs, np.arange(2))
+        out = vmapped_grid_fit(
+            template, ds,
+            start_params=trials["params"],
+            start_stats=trials["batch_stats"],
+            lrs=np.full(2, 5e-3), seeds=np.arange(2),
+            train_idx=np.tile(np.arange(72), (2, 1)),
+            val_idx=np.tile(np.arange(72, 96), (2, 1)),
+            masks=trials["masks"], aux=trials.get("aux"),
+            batch_size=32, max_epochs=8,
+            param_dtype="bfloat16_sr",
+        )
+        assert np.all(np.isfinite(out["best_val_loss"]))
+        assert np.all(out["best_val_loss"] < 0.6)
