@@ -173,11 +173,11 @@ def bench_tpu(gex, cnv, cls, epochs=EPOCHS, k=16):
     pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
            batch_size=BATCH, max_epochs=epochs, epochs_per_eval=epochs)
 
-    # best-of-3: the shared TPU tunnel adds heavy run-to-run contention
+    # best-of-2: the shared TPU tunnel adds heavy run-to-run contention
     # (observed 2-4x swings on identical code); the minimum reflects the
     # hardware's actual capability, like any microbenchmark under noise
     walls = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
                      batch_size=BATCH, max_epochs=epochs,
@@ -238,9 +238,9 @@ def _make_dataset(gex, cnv, cls):
     )
 
 
-def bench_vae(k=512, n=1000, g=1000, c=500, epochs=10):
-    # k: measured sweep 32/64/128/256/384/512/768 -> 52k/90k/164k/253k/300k/
-    # 360k/412k trials/h; 512 keeps HBM headroom for the rest of the bench
+def bench_vae(k=1024, n=1000, g=1000, c=500, epochs=10):
+    # k: measured sweep (SR bf16 params) 512/768/1024 -> 437k/429k/532k
+    # trials/h (f32-era sweep peaked 412k at 768); 1024 fits with headroom
     """supervised_vae: K vmapped trials vs one torch-CPU trial (same shapes:
     per-modality Encoder -> FC_mean/log_var -> z -> Decoders, per-modality
     MMD vs 200 prior draws + recon MSE + CE head). Returns dict."""
@@ -267,7 +267,7 @@ def bench_vae(k=512, n=1000, g=1000, c=500, epochs=10):
     pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va, batch_size=BATCH,
            max_epochs=epochs, epochs_per_eval=epochs)  # compile warm-up
     walls = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
                      batch_size=BATCH, max_epochs=epochs,
@@ -369,9 +369,9 @@ def bench_vae(k=512, n=1000, g=1000, c=500, epochs=10):
     }
 
 
-def bench_gnn(k=384, n=800, n_nodes=300, epochs=10):
-    # k: measured sweep 16/32/64/128/256/384/512 -> 49k/81k/130k/178k/222k/
-    # 262k/275k trials/h; 384 keeps HBM headroom
+def bench_gnn(k=512, n=800, n_nodes=300, epochs=10):
+    # k: measured sweep (SR bf16 params) 384/512/768 -> 276k/293k/287k
+    # trials/h; the knee is 512
     """GNN (GC conv, 2 layers, ring+random graph): K vmapped trials vs one
     torch-CPU trial using the same dense-operator formulation."""
     import pandas as pd
@@ -410,7 +410,7 @@ def bench_gnn(k=384, n=800, n_nodes=300, epochs=10):
     pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va, batch_size=BATCH,
            max_epochs=epochs, epochs_per_eval=epochs)
     walls = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
                      batch_size=BATCH, max_epochs=epochs,
@@ -468,7 +468,7 @@ def bench_gnn(k=384, n=800, n_nodes=300, epochs=10):
     }
 
 
-def bench_inference(gex, cnv, cls, repeats=5, stream_len=20):
+def bench_inference(gex, cnv, cls, repeats=3, stream_len=20):
     """Serving-style batch inference: eval-forward samples/s on the full
     cohort for a trained DirectPred, vs the equivalent torch-CPU forward.
 
@@ -584,8 +584,8 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10):
     # sync) cancel in the difference between a long and a short run.
     # Median of back-to-back paired diffs — the shared tunnel's 2-4x
     # contention swings would make min(long)-min(short) overestimate.
-    run(epochs), run(4 * epochs)  # compile warm-ups for both chunk shapes
-    diffs = sorted(run(4 * epochs) - run(epochs) for _ in range(3))
+    run(epochs), run(3 * epochs)  # compile warm-ups for both chunk shapes
+    diffs = sorted(run(3 * epochs) - run(epochs) for _ in range(2))
     wall = diffs[len(diffs) // 2]
     if wall <= 0:  # contention stalled a short run: flag, don't fabricate
         return {"measurement_unstable": True,
@@ -595,7 +595,7 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10):
         g * hidden + hidden * latent + latent * SUP_HIDDEN
         + SUP_HIDDEN * N_CLASSES
     )
-    n_steps = (len(tr) // batch) * (3 * epochs)
+    n_steps = (len(tr) // batch) * (2 * epochs)
     samples = n_steps * batch
     sps = samples / wall
     return {
@@ -667,8 +667,11 @@ def main():
     # optional extras run cheapest-first under a soft wall-clock budget:
     # the shared tunnel's contention swings (2-4x) must never push the run
     # past the driver's timeout without emitting the headline JSON line
-    def _maybe(name, fn):
-        if time.perf_counter() - t_start > budget_s:
+    def _maybe(name, fn, cap=None):
+        # per-section deadline: a section only starts if enough of the
+        # (timeout - its own worst-case cost) remains — tunnel contention
+        # can double every wall time, so caps are per-section, not global
+        if time.perf_counter() - t_start > (cap or budget_s):
             return {"section": name, "skipped_for_budget": True}
         try:
             return fn()
@@ -678,10 +681,11 @@ def main():
 
     inference = _maybe("inference", lambda: bench_inference(gex, cnv, cls))
     ig = _maybe("ig", lambda: {"s": bench_ig(gex, cnv, cls)})
-    vae = _maybe("vae", bench_vae)
-    gnn = _maybe("gnn", bench_gnn)
-    finetuner = _maybe("finetuner", lambda: bench_finetuner(gex, cnv, cls))
-    large = _maybe("large", bench_large_model)
+    vae = _maybe("vae", bench_vae, cap=400)
+    gnn = _maybe("gnn", bench_gnn, cap=420)
+    large = _maybe("large", bench_large_model, cap=420)
+    finetuner = _maybe("finetuner",
+                       lambda: bench_finetuner(gex, cnv, cls), cap=500)
     ig_seconds = ig.get("s", float("nan"))
 
     samples_per_sec = (
