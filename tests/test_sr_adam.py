@@ -39,6 +39,17 @@ class TestHashSR:
         assert len(np.unique(out)) <= 2
         assert np.max(np.abs(out - 1.2345)) <= 0.01  # within one bf16 ulp
 
+    def test_exactly_representable_values_invariant(self):
+        """bf16-representable values (incl. +-0) are SR fixed points — the
+        property the hetero engine's masked-padding exactness relies on."""
+        vals = jnp.asarray(
+            [0.0, -0.0, 1.0, -2.5, 0.375, 65280.0], jnp.bfloat16
+        ).astype(jnp.float32)
+        x = jnp.tile(vals, (128, 1))
+        for s in (0, 1, 999, 2**31 - 1):
+            out = sr_bf16(x, jnp.uint32(s)).astype(jnp.float32)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
 
 class TestSRAdamStep:
     def test_tracks_f32_adam(self):
