@@ -81,6 +81,40 @@ def cast_params_for_sr(params):
     )
 
 
+def cast_stacked_params_for_sr(params, k):
+    """Same, for a K-stacked pytree — the size threshold applies to the
+    per-trial leaf, not the stacked array."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.size // k >= SR_MIN_SIZE else a,
+        params,
+    )
+
+
+def trial_update_step(params, opt_state, grads, lr, rng, *, sr, tx,
+                      mask=None):
+    """One optimizer step shared by both trial engines (ParallelTrials and
+    vmapped_grid_fit): SR-Adam when ``sr`` else the optax chain, with the
+    per-trial lr (and optional update mask) applied outside the transform.
+    Returns (params', opt_state', rng')."""
+    import optax
+
+    if sr:
+        rng, sr_rng = jax.random.split(rng)
+        seed32 = jax.random.bits(sr_rng, (), jnp.uint32)
+        params, opt_state = sr_adam_step(
+            params, opt_state, grads, lr, seed32, masks=mask
+        )
+    else:
+        updates, opt_state = tx.update(grads, opt_state, params)
+        if mask is None:
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+        else:
+            updates = jax.tree.map(lambda u, m: -lr * u * m, updates, mask)
+        params = optax.apply_updates(params, updates)
+    return params, opt_state, rng
+
+
 def sr_adam_init(params):
     """(m, v, count); moment dtype mirrors each param leaf's dtype."""
     zeros = lambda a: jnp.zeros(a.shape, a.dtype)

@@ -73,6 +73,14 @@ def bucket_key(model_name: str, params: dict) -> tuple:
     return key
 
 
+def _conform(m_tree, t_tree):
+    """Normalize a flat mask/scale dict to exactly the template pytree
+    structure (shared by every per-family mask builder)."""
+    if isinstance(t_tree, dict):
+        return {k: _conform(m_tree[k], v) for k, v in t_tree.items()}
+    return m_tree
+
+
 def _col_mask(n_total: int, n_active: int) -> np.ndarray:
     m = np.zeros(n_total, np.float32)
     m[:n_active] = 1.0
@@ -196,13 +204,7 @@ def directpred_trial_mask(
             mask[key] = np.ones(1, np.float32)
             scale[key] = 1.0
 
-    # normalize mask/scale pytrees to exactly match the template structure
-    def conform(m_tree, t_tree):
-        if isinstance(t_tree, dict):
-            return {k: conform(m_tree[k], v) for k, v in t_tree.items()}
-        return m_tree
-
-    return conform(mask, template_params), conform(scale, template_params)
+    return _conform(mask, template_params), _conform(scale, template_params)
 
 
 def supervised_vae_trial_mask(
@@ -338,12 +340,7 @@ def supervised_vae_trial_mask(
             mask[key] = np.ones(1, np.float32)
             scale[key] = 1.0
 
-    def conform(m_tree, t_tree):
-        if isinstance(t_tree, dict):
-            return {k: conform(m_tree[k], v) for k, v in t_tree.items()}
-        return m_tree
-
-    return conform(mask, template_params), conform(scale, template_params)
+    return _conform(mask, template_params), _conform(scale, template_params)
 
 
 def gnn_trial_mask(
@@ -467,12 +464,7 @@ def gnn_trial_mask(
             mask[key] = np.ones(1, np.float32)
             scale[key] = 1.0
 
-    def conform(m_tree, t_tree):
-        if isinstance(t_tree, dict):
-            return {k: conform(m_tree[k], v) for k, v in t_tree.items()}
-        return m_tree
-
-    return conform(mask, template_params), conform(scale, template_params)
+    return _conform(mask, template_params), _conform(scale, template_params)
 
 
 MASK_BUILDERS = {

@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from ..ops.optim import trial_optimizer
+from ..ops.sr_adam import trial_update_step
 
 
 def _init_stacked(model, seeds):
@@ -136,20 +137,9 @@ def vmapped_grid_fit(
             (_, (_, new_stats)), grads = jax.value_and_grad(
                 wrapped, has_aux=True
             )(params)
-            if sr:
-                from ..ops.sr_adam import sr_adam_step
-
-                rng, sr_rng = jax.random.split(rng)
-                seed32 = jax.random.bits(sr_rng, (), jnp.uint32)
-                params, opt_state = sr_adam_step(
-                    params, opt_state, grads, lr, seed32, masks=mask
-                )
-            else:
-                updates, opt_state = tx.update(grads, opt_state, params)
-                updates = jax.tree.map(
-                    lambda u, m: -lr * u * m, updates, mask
-                )
-                params = optax.apply_updates(params, updates)
+            params, opt_state, rng = trial_update_step(
+                params, opt_state, grads, lr, rng, sr=sr, tx=tx, mask=mask
+            )
             return (params, opt_state, new_stats, rng), None
 
         rng, prng = jax.random.split(rng)
@@ -193,13 +183,9 @@ def vmapped_grid_fit(
     else:
         params, stats = _init_stacked(model, seeds)
     if sr:
-        from ..ops.sr_adam import SR_MIN_SIZE, sr_adam_init
+        from ..ops.sr_adam import cast_stacked_params_for_sr, sr_adam_init
 
-        params = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.size // T >= SR_MIN_SIZE else a,
-            params,
-        )
+        params = cast_stacked_params_for_sr(params, T)
         opt_state = jax.vmap(sr_adam_init)(params)
     else:
         opt_state = jax.vmap(tx.init)(params)
@@ -294,18 +280,9 @@ class ParallelTrials:
             (_, (_, new_stats)), grads = jax.value_and_grad(
                 wrapped, has_aux=True
             )(params)
-            if sr:
-                from ..ops.sr_adam import sr_adam_step
-
-                rng, sr_rng = jax.random.split(rng)
-                seed32 = jax.random.bits(sr_rng, (), jnp.uint32)
-                params, opt_state = sr_adam_step(
-                    params, opt_state, grads, lr, seed32
-                )
-            else:
-                updates, opt_state = tx.update(grads, opt_state, params)
-                updates = jax.tree.map(lambda u: -lr * u, updates)
-                params = optax.apply_updates(params, updates)
+            params, opt_state, rng = trial_update_step(
+                params, opt_state, grads, lr, rng, sr=sr, tx=tx
+            )
             return (params, opt_state, new_stats, rng, lr), None
 
         def chunk_body(params, opt_state, batch_stats, rng, lr, data, val,
@@ -407,16 +384,10 @@ class ParallelTrials:
 
         params, batch_stats = _init_stacked(model, seeds)
         if self.param_dtype == "bfloat16_sr":
-            from ..ops.sr_adam import SR_MIN_SIZE, sr_adam_init
+            from ..ops.sr_adam import cast_stacked_params_for_sr, sr_adam_init
 
-            # the size threshold applies to the per-trial leaf, not the
-            # K-stacked array
             K_ax = jax.tree.leaves(params)[0].shape[0]
-            params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.size // K_ax >= SR_MIN_SIZE else a,
-                params,
-            )
+            params = cast_stacked_params_for_sr(params, K_ax)
             opt_state = jax.vmap(sr_adam_init)(params)
         else:
             opt_state = jax.vmap(self._tx.init)(params)
@@ -444,8 +415,18 @@ class ParallelTrials:
             import orbax.checkpoint as ocp
 
             # round identity: resuming a DIFFERENT round (other lrs/seeds/
-            # schedule) from a same-shaped stale checkpoint would silently
-            # return the previous round's results
+            # schedule/model) from a same-shaped stale checkpoint would
+            # silently return the previous round's results — e.g. GC vs
+            # SAGE GNNs share identical param names and shapes, so model
+            # class + config + conv type must be part of the identity
+            ident = (
+                type(self.model).__name__
+                + repr(sorted(
+                    (k, str(v))
+                    for k, v in (getattr(self.model, "config", None) or {}).items()
+                ))
+                + str(getattr(self.model, "gnn_conv_type", ""))
+            )
             fp = hashlib.sha256(
                 np.asarray(lrs, np.float64).tobytes()
                 + np.asarray(seeds, np.int64).tobytes()
@@ -457,6 +438,7 @@ class ParallelTrials:
                 + np.asarray(val_idx).tobytes()
                 + self.moment_dtype.encode()
                 + self.param_dtype.encode()
+                + ident.encode()
             ).hexdigest()[:16]
             fp_arr = np.frombuffer(bytes.fromhex(fp), dtype=np.uint8).copy()
             manager = ocp.CheckpointManager(

@@ -200,21 +200,34 @@ extern "C" FcsvMatrix* fastcsv_read(const char* path, int n_threads) {
   int T = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
   if (T > n_rows) T = n_rows > 0 ? static_cast<int>(n_rows) : 1;
 
+  // every row is validated as it parses: a quote anywhere or a field count
+  // that differs from the header aborts the whole parse so the caller falls
+  // back to pandas — the up-front header/first-row check alone would let a
+  // ragged or quoted row deeper in the file silently shift columns
   auto worker = [&](int64_t lo, int64_t hi) {
     for (int64_t r = lo; r < hi && !failed.load(std::memory_order_relaxed); ++r) {
       const char* q = idx.starts[static_cast<size_t>(r)];
       const char* name_start = q;
-      while (q < end && *q != ',' && *q != '\n') ++q;
+      while (q < end && *q != ',' && *q != '\n') {
+        if (*q == '"') { failed.store(true); return; }
+        ++q;
+      }
       row_names[static_cast<size_t>(r)].assign(
           name_start, static_cast<size_t>(q - name_start));
       float* row = data + r * n_cols;
       int64_t c = 0;
       while (q < end && *q == ',' && c < n_cols) {
         ++q;
+        if (q < end && *q == '"') { failed.store(true); return; }
         q = parse_float(q, end, &row[c]);
         ++c;
       }
-      for (; c < n_cols; ++c) row[c] = NAN;  // short row -> NaN-filled
+      // the row must hold exactly n_cols fields and be fully consumed
+      if (c != n_cols ||
+          (q < end && *q != '\n' && *q != '\r')) {
+        failed.store(true);
+        return;
+      }
     }
   };
 
@@ -228,6 +241,13 @@ extern "C" FcsvMatrix* fastcsv_read(const char* path, int n_threads) {
   }
   for (auto& th : threads) th.join();
   munmap(const_cast<char*>(buf), size);
+
+  if (failed.load()) {
+    free(data);
+    m->error = strdup(
+        "fastcsv: quoted field or field-count mismatch in a data row");
+    return m;
+  }
 
   std::string row_blob;
   for (auto& s : row_names) {

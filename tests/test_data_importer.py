@@ -205,6 +205,36 @@ class TestFastCSV:
         assert list(a.index) == list(b.index)
         np.testing.assert_allclose(a.values, b.values.astype(np.float32))
 
+    def test_midfile_ragged_or_quoted_rows_fall_back(self, tmp_path):
+        """A quoted or ragged row DEEP in the file (past the up-front
+        header/first-row check) must also abort the native parse instead of
+        silently shifting columns."""
+        from flexynesis_tpu.data.fastcsv import read_matrix_csv
+
+        ragged = tmp_path / "ragged.csv"
+        ragged.write_text(
+            ",S1,S2,S3\ng1,1.0,2.0,3.0\ng2,4.0,5.0\ng3,6.0,7.0,8.0\n"
+        )
+        quoted = tmp_path / "quoted_mid.csv"
+        quoted.write_text(
+            ',S1,S2,S3\ng1,1.0,2.0,3.0\n"g2,x",4.0,5.0,6.0\n'
+        )
+        import pytest as _pytest
+
+        from flexynesis_tpu.data import fastcsv
+
+        if fastcsv._ensure_built() is not None:
+            with _pytest.raises(RuntimeError):
+                fastcsv.read_matrix_csv(str(ragged), fallback=False)
+            with _pytest.raises(RuntimeError):
+                fastcsv.read_matrix_csv(str(quoted), fallback=False)
+        # with fallback the wrapper must return pandas' parse of the quoted
+        # file (pandas errors on the ragged one like the native path)
+        b = pd.read_csv(quoted, index_col=0)
+        a = read_matrix_csv(str(quoted))
+        assert list(a.index) == list(b.index)
+        np.testing.assert_allclose(a.values, b.values.astype(np.float32))
+
     def test_native_errors_without_fallback(self, tmp_path):
         """With fallback disabled the layout errors surface, not bad data."""
         import pytest as _pytest
