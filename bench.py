@@ -214,12 +214,56 @@ def bench_ig(gex, cnv, cls):
     model.compute_feature_importance(ds, "subtype", steps_or_samples=25,
                                      batch_size=512)
     walls = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         model.compute_feature_importance(ds, "subtype", steps_or_samples=25,
                                          batch_size=512)
         walls.append(time.perf_counter() - t0)
-    return float(np.min(walls))
+    tpu_s = float(np.min(walls))
+
+    # torch-CPU comparator (captum-equivalent math): IG on a 256-sample
+    # subsample, scaled linearly to the full cohort (IG cost is linear in
+    # samples — per-sample work is fixed)
+    import torch
+    import torch.nn as nn
+
+    sub = 256
+
+    def mlp(i, h, o):
+        return nn.Sequential(nn.Linear(i, h), nn.BatchNorm1d(h), nn.ReLU(),
+                             nn.Dropout(0.1), nn.Linear(h, o))
+
+    net = nn.ModuleDict({
+        "e1": mlp(GEX, int(GEX * HIDDEN_FACTOR), LATENT),
+        "e2": mlp(CNV, int(CNV * HIDDEN_FACTOR), LATENT),
+        "fuse": nn.Linear(2 * LATENT, LATENT),
+        "head": mlp(LATENT, SUP_HIDDEN, N_CLASSES),
+    }).eval()
+
+    def fwd(a, b):
+        return net["head"](net["fuse"](
+            torch.cat([net["e1"](a), net["e2"](b)], dim=1)))
+
+    xa = torch.tensor(gex[:sub])
+    xb = torch.tensor(cnv[:sub])
+    ba, bb = torch.zeros_like(xa), torch.zeros_like(xb)
+    alphas = torch.linspace(0, 1, 25)
+    t0 = time.perf_counter()
+    for cls_i in range(N_CLASSES):
+        total_a = torch.zeros_like(xa)
+        total_b = torch.zeros_like(xb)
+        for al in alphas:
+            ia = (ba + al * (xa - ba)).requires_grad_(True)
+            ib = (bb + al * (xb - bb)).requires_grad_(True)
+            out = fwd(ia, ib)[:, cls_i].sum()
+            ga, gb = torch.autograd.grad(out, (ia, ib))
+            total_a += ga
+            total_b += gb
+    torch_s = (time.perf_counter() - t0) * (N_SAMPLES / sub)
+    return {"tpu_seconds": round(tpu_s, 3),
+            "torch_cpu_seconds_est": round(torch_s, 1),
+            "speedup": round(torch_s / tpu_s, 1),
+            "note": "torch cost measured on 256 samples, scaled to cohort"}
 
 
 def _make_dataset(gex, cnv, cls):
@@ -681,13 +725,13 @@ def main():
                     "error": f"{type(e).__name__}: {e}"[:200]}
 
     inference = _maybe("inference", lambda: bench_inference(gex, cnv, cls))
-    ig = _maybe("ig", lambda: {"s": bench_ig(gex, cnv, cls)})
+    ig = _maybe("ig", lambda: bench_ig(gex, cnv, cls))
     vae = _maybe("vae", bench_vae, cap=400)
     gnn = _maybe("gnn", bench_gnn, cap=420)
     large = _maybe("large", bench_large_model, cap=420)
     finetuner = _maybe("finetuner",
                        lambda: bench_finetuner(gex, cnv, cls), cap=500)
-    ig_seconds = ig.get("s", float("nan"))
+    ig_seconds = ig.get("tpu_seconds", float("nan"))
 
     samples_per_sec = (
         best_k * EPOCHS * (n_train // BATCH) * BATCH / best_wall
@@ -717,7 +761,7 @@ def main():
             "epochs_per_trial": EPOCHS,
             "n_samples": N_SAMPLES,
             "features": {"gex": GEX, "cnv": CNV},
-            "ig_attribution_seconds": round(ig_seconds, 3) if ig_seconds == ig_seconds else ig,
+            "ig_attribution": ig,
             "supervised_vae": vae,
             "gnn": gnn,
             "finetuner": finetuner,
