@@ -144,6 +144,20 @@ class TestCLITrainInfer:
         assert rc == 0
         assert os.path.exists(os.path.join(outdir, "job.cnv_decoded.csv"))
 
+        # inference reload: translation model must decode on the new cohort
+        rc = main([
+            "--pretrained_model", os.path.join(outdir, "job.final_model.safetensors"),
+            "--artifacts", os.path.join(outdir, "job.artifacts.joblib"),
+            "--data_path_test", os.path.join(data_path, "test"),
+            "--outdir", str(tmp_path / "xm_inf"),
+            "--prefix", "inf",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+        decoded = os.path.join(str(tmp_path / "xm_inf"), "inf.cnv_decoded.csv")
+        assert os.path.exists(decoded)
+        assert len(pd.read_csv(decoded, index_col=0)) == 40  # test cohort
+
     def test_triplet(self, data_path, tmp_path):
         outdir = str(tmp_path / "trip")
         _write_small_space(outdir, "MultiTripletNetwork")
@@ -154,6 +168,19 @@ class TestCLITrainInfer:
             "--disable_marker_finding",
         ])
         assert rc == 0
+
+        # inference reload round trip
+        rc = main([
+            "--pretrained_model", os.path.join(outdir, "job.final_model.safetensors"),
+            "--artifacts", os.path.join(outdir, "job.artifacts.joblib"),
+            "--data_path_test", os.path.join(data_path, "test"),
+            "--outdir", str(tmp_path / "trip_inf"),
+            "--prefix", "inf",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+        stats = pd.read_csv(str(tmp_path / "trip_inf" / "inf.stats.csv"))
+        assert (stats["var"] == "subtype").any()
 
     def test_gnn_with_user_graph(self, data_path, tmp_path):
         outdir = str(tmp_path / "gnn")
