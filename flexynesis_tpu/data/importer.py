@@ -108,8 +108,9 @@ class DataImporter:
         return data
 
     def subsample(self, dat: Dict[str, pd.DataFrame], n: int):
-        # seeded like the reference (data.py:488) — an unseeded draw made
-        # CLI runs order-dependent (a 50-sample draw can miss a class)
+        # reference analog is data.py:318, which samples UNSEEDED; seeding
+        # here is a deliberate determinism improvement — an unseeded draw
+        # made CLI runs order-dependent (a 50-sample draw can miss a class)
         clin = dat["clin"].sample(n, random_state=42)
         out = {x: dat[x][clin.index] for x in self.data_types}
         out["clin"] = clin

@@ -55,7 +55,13 @@ def build_operator(
     if conv_type == "SAGE":
         deg = A.sum(axis=1, keepdims=True)
         return A / np.clip(deg, 1.0, None)
-    if conv_type in ("GC", "GAT"):
+    if conv_type == "GC":
+        return A
+    if conv_type == "GAT":
+        # torch_geometric GATConv defaults to add_self_loops=True: each
+        # node's own transformed features join the attention softmax, so a
+        # node with no in-edges still outputs its self term (not just bias).
+        np.fill_diagonal(A, 1.0)
         return A
     raise ValueError(f"Unknown convolution type: {conv_type}")
 

@@ -183,9 +183,14 @@ def triplet_margin_loss(
     negative: jnp.ndarray,
     margin: float = 1.0,
 ) -> jnp.ndarray:
-    """mean(relu(||a-p|| - ||a-n|| + margin)) with L2 distances.
+    """mean(relu(||a-p|| - ||a-n|| + margin)) with sqrt-L2 distances.
 
-    Reference triplet_encoder.py:178-194 (torch.nn.TripletMarginLoss defaults).
+    Implements torch.nn.TripletMarginLoss default semantics (p=2, sqrt'd
+    distances, pairwise_distance eps). NOTE: this intentionally differs from
+    the reference model's loss — reference triplet_encoder.py:178-194 (and
+    our MultiTripletNetwork, models/triplet_encoder.py::_squared_triplet_loss)
+    use SQUARED distances with no sqrt. This export exists as the torch-
+    compatible utility; the model uses its own squared-distance formulation.
     """
     eps = 1e-6  # torch pairwise_distance epsilon
     d_pos = jnp.sqrt(jnp.sum(jnp.square(anchor - positive), axis=-1) + eps)

@@ -42,9 +42,23 @@ def initialize(
     }
 
 
-def partition_trials(suggestions: List[dict]) -> List[dict]:
+def partition_trials(
+    suggestions: List[dict],
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> List[dict]:
     """This process's shard of an HPO suggestion batch (round-robin by
     jax.process_index) — hosts then run their shard on local devices and the
-    GP `tell`s merge on the coordinating host."""
-    pi, pc = jax.process_index(), jax.process_count()
+    GP `tell`s merge on the coordinating host.
+
+    ``process_index``/``process_count`` default to the live jax topology;
+    they are explicit parameters so the shard arithmetic is unit-testable
+    without a multi-host cluster. Round-robin guarantees: shards are
+    disjoint, their union is the full batch in order, sizes differ by at
+    most 1, and when K < hosts the trailing hosts get empty shards.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if not 0 <= pi < pc:
+        raise ValueError(f"process_index {pi} out of range for {pc} hosts")
     return [s for i, s in enumerate(suggestions) if i % pc == pi]

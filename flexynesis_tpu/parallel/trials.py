@@ -426,6 +426,11 @@ class ParallelTrials:
                     for k, v in (getattr(self.model, "config", None) or {}).items()
                 ))
                 + str(getattr(self.model, "gnn_conv_type", ""))
+                # optimizer tree structure: restore rebuilds opt_state by
+                # tree_unflattening restored leaves into the FRESH structure,
+                # which is only sound if the optimizer chain (and hence leaf
+                # order) is identical to the one that wrote the checkpoint
+                + str(jax.tree.structure(opt_state))
             )
             fp = hashlib.sha256(
                 np.asarray(lrs, np.float64).tobytes()

@@ -49,14 +49,18 @@ struct FcsvMatrix {
 
 namespace {
 
-inline const char* parse_float(const char* p, const char* end, float* out) {
+inline const char* parse_float(const char* p, const char* end, float* out,
+                               bool* ok) {
   // skip leading spaces
   while (p < end && *p == ' ') ++p;
   const char* field_start = p;
   // find end of field
   const char* q = p;
   while (q < end && *q != ',' && *q != '\n' && *q != '\r') ++q;
-  size_t len = static_cast<size_t>(q - field_start);
+  // trim trailing spaces (pandas accepts "1.0 " as numeric)
+  const char* fe = q;
+  while (fe > field_start && fe[-1] == ' ') --fe;
+  size_t len = static_cast<size_t>(fe - field_start);
   if (len == 0) {
     *out = NAN;
     return q;
@@ -68,8 +72,16 @@ inline const char* parse_float(const char* p, const char* end, float* out) {
     return q;
   }
   float v;
-  auto res = std::from_chars(field_start, q, v);
-  *out = (res.ec == std::errc() ? v : NAN);
+  auto res = std::from_chars(field_start, fe, v);
+  // the whole field must be numeric: trailing garbage ("12x", a mid-field
+  // quote) means pandas would type the column as object — abort to the
+  // pandas fallback instead of silently coercing to the numeric prefix
+  if (res.ec != std::errc() || res.ptr != fe) {
+    *ok = false;
+    *out = NAN;
+    return q;
+  }
+  *out = v;
   return q;
 }
 
@@ -216,10 +228,12 @@ extern "C" FcsvMatrix* fastcsv_read(const char* path, int n_threads) {
           name_start, static_cast<size_t>(q - name_start));
       float* row = data + r * n_cols;
       int64_t c = 0;
+      bool row_ok = true;
       while (q < end && *q == ',' && c < n_cols) {
         ++q;
         if (q < end && *q == '"') { failed.store(true); return; }
-        q = parse_float(q, end, &row[c]);
+        q = parse_float(q, end, &row[c], &row_ok);
+        if (!row_ok) { failed.store(true); return; }
         ++c;
       }
       // the row must hold exactly n_cols fields and be fully consumed
@@ -245,7 +259,7 @@ extern "C" FcsvMatrix* fastcsv_read(const char* path, int n_threads) {
   if (failed.load()) {
     free(data);
     m->error = strdup(
-        "fastcsv: quoted field or field-count mismatch in a data row");
+        "fastcsv: quoted, non-numeric, or miscounted field in a data row");
     return m;
   }
 

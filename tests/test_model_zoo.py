@@ -207,3 +207,33 @@ class TestGraphOperators:
         edges = np.array([[0, 1]]).T
         A = build_operator(edges, 2, "GC")
         np.testing.assert_allclose(A, [[0, 0], [1, 0]])
+
+    def test_gat_adds_self_loops(self):
+        """GAT operator must include self-loops (torch_geometric GATConv
+        default add_self_loops=True): an isolated node attends to itself."""
+        from flexynesis_tpu.ops.graph_conv import build_operator
+
+        edges = np.array([[0, 1]]).T  # node 2 isolated
+        A = build_operator(edges, 3, "GAT")
+        np.testing.assert_allclose(np.diag(A), 1.0)
+        assert A[1, 0] == 1.0
+
+    def test_gat_isolated_node_output_is_self_term_not_bias(self):
+        """With self-loops, an in-edge-free node's GAT output is its own
+        transformed features + bias, not bias alone."""
+        import jax
+
+        from flexynesis_tpu.ops.graph_conv import DenseGraphConvLayer, build_operator
+
+        edges = np.array([[0, 1]]).T
+        A = jnp_arr = build_operator(edges, 3, "GAT")
+        layer = DenseGraphConvLayer(out_dim=4, conv_type="GAT")
+        x = np.random.default_rng(0).normal(size=(1, 3, 5)).astype(np.float32)
+        params = layer.init(jax.random.key(0), x, jnp_arr)
+        out = layer.apply(params, x, A)
+        # node 2 attends only to itself: output == W x_2 + bias
+        w = params["params"]["lin"]["kernel"]
+        b = params["params"]["bias"]
+        np.testing.assert_allclose(
+            np.asarray(out[0, 2]), np.asarray(x[0, 2] @ w + b), rtol=1e-5
+        )
