@@ -45,6 +45,8 @@ framework.
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
@@ -66,9 +68,24 @@ SUP_HIDDEN = 16
 BATCH = 64
 EPOCHS = 10
 N_CLASSES = 4
-K_SWEEP = (16, 128, 256, 384, 512)  # 768 exceeds v5e-1 HBM at these shapes
-# (bf16 Adam moments freed HBM for K=384; stochastically-rounded bf16
-# params (ops/sr_adam.py) freed enough for K=512)
+# The budget run measures ONLY the known-best point K=512: the full curve
+# was measured and recorded in BENCH_r02 (16/128/256/384/512 ->
+# 38.3k/166.7k/193.9k/210.7k/228.6k trials/h; re-measured 384 -> 201.7k,
+# 512 -> 212.9k on 2026-08-17) and is monotone up to the HBM limit. The
+# persistent compile cache does NOT apply through the remote-compile
+# tunnel, so every extra K point costs a ~110s warm-up compile — two
+# points alone consumed ~265s of the 420s driver budget and starved the
+# ig/vae/large sections (the round-2 failure mode). BENCH_SWEEP=knee
+# restores {384, 512}; BENCH_FULL_SWEEP=1 the full curve. 768 exceeds
+# v5e-1 HBM at these shapes (bf16 Adam moments freed HBM for K=384;
+# stochastically-rounded bf16 params (ops/sr_adam.py) freed K=512)
+K_SWEEP = (
+    (16, 128, 256, 384, 512)
+    if os.environ.get("BENCH_FULL_SWEEP") == "1"
+    else (384, 512)
+    if os.environ.get("BENCH_SWEEP") == "knee"
+    else (512,)
+)
 # fwd matmul params: gex 2000x600+600x64, cnv 1000x300+300x64, fuse 128x64,
 # head 64x16+16x4; fwd+bwd ~= 3x fwd = 3 * 2 * params
 FLOP_PER_SAMPLE = 3 * 2 * (
@@ -647,7 +664,11 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10):
         "samples_per_sec": round(sps, 0),
         "mfu_est": round(sps * flop_per_sample / V5E_BF16_PEAK, 4),
         "n_features": g, "latent_dim": latent, "batch_size": batch,
-        "note": "single model at production scale; MXU-bound shapes",
+        "bound_by": (
+            "MXU (compute-bound shapes; residual gap to peak = BatchNorm/"
+            "optimizer elementwise passes + the thin latent-side GEMMs)"
+        ),
+        "note": "single model at production scale",
     }
 
 
@@ -688,19 +709,105 @@ def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
     }
 
 
+# ---------------------------------------------------------------------------
+# Emission machinery: the driver captures exactly ONE JSON line within its
+# timeout. Results stream into a shared snapshot as each section finishes,
+# and a watchdog thread emits that snapshot and exits the process if the
+# main thread is still blocked at the hard deadline (the axon tunnel has
+# been observed to hang a grant mid-run) — a stall can delay sections but
+# can never discard completed ones or lose the headline line.
+# ---------------------------------------------------------------------------
+
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit(result) -> None:
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(result), flush=True)
+
+
+# worst-case section costs (seconds, compile through the remote-compile
+# tunnel included — the persistent cache does not apply there, so every
+# process pays them) used to decide whether a section still fits in the
+# budget; measured 2026-08-17: inference 1.5-1.9, ig 32-33, large 41.6,
+# vae 55-58, gnn 35.1, finetuner 63.5 — estimates leave headroom for the
+# tunnel's 2-4x contention swings
+_SECTION_EST_S = {
+    "inference": 15,
+    "ig": 45,
+    "large": 90,
+    "vae": 75,
+    "gnn": 70,
+    "finetuner": 90,
+}
+
+
 def main():
-    import os
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 420))
+    # grace window covers the section in flight when the budget ends
+    hard_deadline = t_start + budget_s + 110
+
+    extras = {
+        "epochs_per_trial": EPOCHS,
+        "n_samples": N_SAMPLES,
+        "features": {"gex": GEX, "cnv": CNV},
+        "bound_by": (
+            "HBM (Adam state + weight traffic ~70% of roofline; "
+            "see bench.py docstring ablation)"
+        ),
+    }
+    result = {
+        "metric": "HPO trials/hour (DirectPred, BRCA-scale 2-omic, "
+                  "vmapped trials)",
+        "value": 0.0,
+        "unit": "trials/hour",
+        "vs_baseline": 0.0,
+        "extra": extras,
+    }
+
+    def watchdog():
+        while not _EMITTED:
+            if time.perf_counter() >= hard_deadline:
+                extras["watchdog_fired"] = True
+                _emit(result)
+                os._exit(0)
+            time.sleep(1.0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     gex, cnv, cls = _synth()
 
     torch_trial_s = bench_torch_cpu(gex, cnv, cls)
-    torch_trials_per_hour = 3600.0 / torch_trial_s
+    torch_tph = 3600.0 / torch_trial_s
+    extras["torch_cpu_trials_per_hour"] = round(torch_tph, 1)
+    # the in-container torch host has nproc=1; a realistic reference host
+    # runs ~32 independent 1-core trials concurrently (trials are
+    # embarrassingly parallel, and these GEMMs are too small to speed up a
+    # SINGLE trial with more cores — see bench_torch_cpu note), so the
+    # honest multi-core comparison point is 32x the per-core rate
+    extras["torch_cpu_32core_extrapolated_trials_per_hour"] = round(
+        torch_tph * 32, 1
+    )
 
     # trial-count scaling sweep: the workload is HBM-bound (see module
-    # docstring), so trials/hour climbs with K until HBM saturates
+    # docstring), so trials/hour climbs with K until HBM saturates.
+    # best-so-far streams into the snapshot after every K point, so a
+    # watchdog emit mid-sweep still carries a real headline.
     n_train = int(N_SAMPLES * 0.8)
     sweep = {}
+    extras["trial_count_sweep_trials_per_hour"] = sweep
+    extras["sweep_reference"] = (
+        "full K curve (BENCH_r02 + re-measured 2026-08-17): 16->38.3k, "
+        "128->166.7k, 256->193.9k, 384->201.7-210.7k, 512->212.9-228.6k "
+        "trials/h; monotone to the HBM limit. BENCH_SWEEP=knee or "
+        "BENCH_FULL_SWEEP=1 re-measures."
+    )
     best_k, best_tph, best_wall = None, 0.0, None
     for k in K_SWEEP:
         wall = bench_tpu(gex, cnv, cls, k=k)
@@ -708,68 +815,59 @@ def main():
         sweep[str(k)] = round(tph, 0)
         if tph > best_tph:
             best_k, best_tph, best_wall = k, tph, wall
-
-    # optional extras run cheapest-first under a soft wall-clock budget:
-    # the shared tunnel's contention swings (2-4x) must never push the run
-    # past the driver's timeout without emitting the headline JSON line
-    def _maybe(name, fn, cap=None):
-        # per-section deadline: a section only starts if enough of the
-        # (timeout - its own worst-case cost) remains — tunnel contention
-        # can double every wall time, so caps are per-section, not global
-        if time.perf_counter() - t_start > (cap or budget_s):
-            return {"section": name, "skipped_for_budget": True}
-        try:
-            return fn()
-        except Exception as e:  # a failed extra must not kill the headline
-            return {"section": name,
-                    "error": f"{type(e).__name__}: {e}"[:200]}
-
-    inference = _maybe("inference", lambda: bench_inference(gex, cnv, cls))
-    ig = _maybe("ig", lambda: bench_ig(gex, cnv, cls))
-    vae = _maybe("vae", bench_vae, cap=400)
-    gnn = _maybe("gnn", bench_gnn, cap=420)
-    large = _maybe("large", bench_large_model, cap=420)
-    finetuner = _maybe("finetuner",
-                       lambda: bench_finetuner(gex, cnv, cls), cap=500)
-    ig_seconds = ig.get("tpu_seconds", float("nan"))
-
-    samples_per_sec = (
-        best_k * EPOCHS * (n_train // BATCH) * BATCH / best_wall
-    )
-    torch_samples_per_sec = EPOCHS * (N_SAMPLES // BATCH) * BATCH / torch_trial_s
-    mfu = samples_per_sec * FLOP_PER_SAMPLE / V5E_BF16_PEAK
-
-    result = {
-        "metric": (
+        samples_per_sec = best_k * EPOCHS * (n_train // BATCH) * BATCH / best_wall
+        result["metric"] = (
             f"HPO trials/hour (DirectPred, BRCA-scale 2-omic, "
             f"{best_k} vmapped trials)"
-        ),
-        "value": round(best_tph, 1),
-        "unit": "trials/hour",
-        "vs_baseline": round(best_tph / torch_trials_per_hour, 2),
-        "extra": {
-            "trial_count_sweep_trials_per_hour": sweep,
-            "best_trial_count": best_k,
-            "torch_cpu_trials_per_hour": round(torch_trials_per_hour, 1),
-            "tpu_train_samples_per_sec": round(samples_per_sec, 0),
-            "torch_cpu_train_samples_per_sec": round(torch_samples_per_sec, 0),
-            "mfu_est": round(mfu, 4),
-            "bound_by": (
-                "HBM (Adam state + weight traffic ~70% of roofline; "
-                "see bench.py docstring ablation)"
-            ),
-            "epochs_per_trial": EPOCHS,
-            "n_samples": N_SAMPLES,
-            "features": {"gex": GEX, "cnv": CNV},
-            "ig_attribution": ig,
-            "supervised_vae": vae,
-            "gnn": gnn,
-            "finetuner": finetuner,
-            "large_single_model": large,
-            "batch_inference": inference,
-        },
-    }
-    print(json.dumps(result))
+        )
+        result["value"] = round(best_tph, 1)
+        result["vs_baseline"] = round(best_tph / torch_tph, 2)
+        extras["best_trial_count"] = best_k
+        extras["tpu_train_samples_per_sec"] = round(samples_per_sec, 0)
+        extras["mfu_est"] = round(
+            samples_per_sec * FLOP_PER_SAMPLE / V5E_BF16_PEAK, 4
+        )
+        extras["vs_32core_extrapolated"] = round(best_tph / (torch_tph * 32), 2)
+    extras["torch_cpu_train_samples_per_sec"] = round(
+        EPOCHS * (N_SAMPLES // BATCH) * BATCH / torch_trial_s, 0
+    )
+
+    def run_section(key, name, fn):
+        """Run one extra if it still fits in the budget; stream the result
+        (with its own wall time) into the snapshot as soon as it's done."""
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < _SECTION_EST_S[name]:
+            extras[key] = {
+                "section": name,
+                "skipped_for_budget": True,
+                "remaining_s": round(remaining, 1),
+            }
+            return
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+            r["elapsed_s"] = round(time.perf_counter() - t0, 1)
+            extras[key] = r
+        except Exception as e:  # a failed extra must not kill the headline
+            extras[key] = {
+                "section": name,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }
+
+    # priority order (VERDICT r2 #1): the cheap inference probe, then the
+    # three sections carrying previously-unverified claims (ig, large-model
+    # MFU, vae), then gnn and finetuner
+    run_section("batch_inference", "inference",
+                lambda: bench_inference(gex, cnv, cls))
+    run_section("ig_attribution", "ig", lambda: bench_ig(gex, cnv, cls))
+    run_section("large_single_model", "large", bench_large_model)
+    run_section("supervised_vae", "vae", bench_vae)
+    run_section("gnn", "gnn", bench_gnn)
+    run_section("finetuner", "finetuner",
+                lambda: bench_finetuner(gex, cnv, cls))
+
+    extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+    _emit(result)
 
 
 if __name__ == "__main__":

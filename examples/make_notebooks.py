@@ -19,6 +19,7 @@ TUTORIALS = [
     "survival_subtypes_tutorial",
     "gnn_custom_networks_tutorial",
     "crossmodal_translation_tutorial",
+    "cbioportal_tutorial",
 ]
 
 

@@ -330,6 +330,73 @@ class HyperparameterTuning:
             for k in range(len(group))
         ]
 
+    def _run_parallel_group_cv(self, group):
+        """CV x batched-ask fusion: K suggestions x k folds train as ONE
+        vmapped program of K*k trials.
+
+        The reference's CV objective (main.py:267-332) is its most expensive
+        mode — k sequential fold fits per suggestion, suggestions sequential.
+        Here every (suggestion, fold) cell becomes one trial on the vmapped
+        trial axis: per-trial splits come from ``equal_kfold_indices`` tiled
+        across suggestions, per-trial lrs repeat each suggestion's lr across
+        its folds, and mixed-architecture groups pad to max dims with
+        per-trial masks exactly like the non-CV hetero path. Per-suggestion
+        scores are fold-means, matching the sequential path.
+        """
+        from ..parallel.trials import equal_kfold_indices, vmapped_grid_fit
+
+        n = self.n_units
+        k = self.n_splits
+        K = len(group)
+        tr, va = equal_kfold_indices(n, k, seed=self.seed)
+        train_idx = np.tile(tr, (K, 1))
+        val_idx = np.tile(va, (K, 1))
+        lrs = np.repeat(np.asarray([p["lr"] for p in group], np.float32), k)
+        # same per-fold seeds for every suggestion — identical to running
+        # _objective_cv_parallel once per suggestion
+        seeds = np.tile(np.arange(self.seed, self.seed + k), K)
+
+        if self._arch_identical(group):
+            template = self.model_class(**self._model_args(group[0]))
+            trials: dict = {}
+        else:
+            from ..parallel.hetero import build_padded_trials, max_config
+
+            template_cfg = dict(group[0])
+            template_cfg.update(
+                max_config(group, [
+                    len(self.dataset.features[key])
+                    for key in self.dataset.dat.keys()
+                ])
+            )
+            template = self.model_class(**self._model_args(template_cfg))
+            # each suggestion's padded params/masks repeat across its folds
+            expanded = [p for p in group for _ in range(k)]
+            trials = build_padded_trials(template, expanded, seeds)
+
+        print(
+            f"[INFO] Training {K} suggestions x {k} CV folds = {K * k} "
+            "trials concurrently (vmapped)"
+        )
+        out = vmapped_grid_fit(
+            template,
+            self.dataset,
+            start_params=trials.get("params"),
+            start_stats=trials.get("batch_stats"),
+            lrs=lrs,
+            seeds=seeds,
+            train_idx=train_idx,
+            val_idx=val_idx,
+            masks=trials.get("masks"),
+            aux=trials.get("aux"),
+            batch_size=int(group[0]["batch_size"]),
+            max_epochs=int(group[0]["epochs"]),
+            early_stop_patience=self.early_stop_patience,
+        )
+        loss = np.asarray(out["best_val_loss"]).reshape(K, k).mean(axis=1)
+        ep = np.asarray(out["best_epoch"]).reshape(K, k).mean(axis=1)
+        return [(float(loss[i]), int(round(ep[i])), None) for i in range(K)]
+
     def _run_parallel_group(self, group):
         """Train a same-architecture suggestion group via vmapped trials."""
         from ..parallel.trials import ParallelTrials
@@ -404,7 +471,10 @@ class HyperparameterTuning:
             # the trial axis, parallel/trials.py); lr varies freely per trial
             for group in self._bucket_by_architecture(suggestions):
                 t0 = time.perf_counter()
-                if len(group) > 1 and not self.use_cv:
+                if len(group) > 1 and self.use_cv and self.parallel_folds:
+                    # suggestions x folds fuse into one K*k-trial program
+                    results = self._run_parallel_group_cv(group)
+                elif len(group) > 1 and not self.use_cv:
                     if self._arch_identical(group):
                         results = self._run_parallel_group(group)
                     else:

@@ -248,6 +248,118 @@ class TestFastCSV:
         with _pytest.raises(RuntimeError, match="mismatch"):
             fastcsv.read_matrix_csv(str(p), fallback=False)
 
+    def test_trailing_garbage_field_rejected(self, tmp_path):
+        """A field with a numeric prefix + garbage ('12x') makes pandas type
+        the column as object; the native path must refuse, not coerce to 12."""
+        import pytest as _pytest
+
+        from flexynesis_tpu.data import fastcsv
+
+        if fastcsv._ensure_built() is None:
+            _pytest.skip("native fastcsv unavailable")
+        for bad in ("12x", '1.0"', "1.0.5", "N/A"):
+            p = tmp_path / "garbage.csv"
+            p.write_text(f",S1,S2\ng1,1.5,{bad}\ng2,2.0,3.0\n")
+            with _pytest.raises(RuntimeError):
+                fastcsv.read_matrix_csv(str(p), fallback=False)
+        # trailing spaces around numbers are fine (pandas accepts them)
+        p = tmp_path / "spaces.csv"
+        p.write_text(",S1,S2\ng1, 1.5 ,2.0\n")
+        a = fastcsv.read_matrix_csv(str(p), fallback=False)
+        assert a.loc["g1", "S1"] == 1.5
+
+
+class TestFastCSVFuzz:
+    """Seeded adversarial-CSV fuzz vs pandas (VERDICT r2 #6): over ~100
+    generated tables with quotes, CRLF, BOM, ragged rows, scientific
+    notation, NA tokens, empty fields, and trailing garbage, the native
+    parser must either (a) produce exactly pandas' float32 parse, or
+    (b) refuse — it must never silently diverge."""
+
+    @staticmethod
+    def _gen_table(rng):
+        n_rows = int(rng.integers(1, 15))
+        n_cols = int(rng.integers(1, 8))
+
+        def field():
+            r = rng.random()
+            if r < 0.55:
+                return f"{rng.normal():.6g}"
+            if r < 0.65:
+                return f"{rng.normal() * 10 ** int(rng.integers(-8, 8)):e}"
+            if r < 0.72:
+                return str(int(rng.integers(-1000, 1000)))
+            if r < 0.80:
+                return ""
+            if r < 0.90:
+                return str(rng.choice(["NA", "NaN", "nan", "null", "NULL"]))
+            if r < 0.94:
+                return f" {rng.normal():.4g} "      # padded numeric
+            if r < 0.97:
+                return str(rng.choice(["inf", "-inf"]))
+            # adversarial: garbage / partial numerics / pandas-only NA
+            return str(rng.choice(["12x", "1.0.5", "N/A", "--3", "1e", "x"]))
+
+        header_cells = [""] + [f"S{j}" for j in range(n_cols)]
+        rows = []
+        for i in range(n_rows):
+            cells = [f"g{i}"] + [field() for _ in range(n_cols)]
+            r = rng.random()
+            if r < 0.05 and n_cols > 1:
+                cells = cells[:-1]                   # ragged: short row
+            elif r < 0.08:
+                cells = cells + ["9.9"]              # ragged: long row
+            elif r < 0.12:
+                k = int(rng.integers(1, len(cells)))
+                cells[k] = f'"{cells[k]}"'           # quoted field
+            rows.append(",".join(cells))
+        text = ",".join(header_cells) + "\n" + "\n".join(rows)
+        if rng.random() < 0.5:
+            text += "\n"
+        if rng.random() < 0.15:
+            text = text.replace("\n", "\r\n")
+        if rng.random() < 0.1:
+            text = "\ufeff" + text  # BOM
+        return text
+
+    def test_fuzz_vs_pandas(self, tmp_path):
+        import pytest as _pytest
+
+        from flexynesis_tpu.data import fastcsv
+
+        if fastcsv._ensure_built() is None:
+            _pytest.skip("native fastcsv unavailable")
+        rng = np.random.default_rng(2024)
+        n_native_ok = 0
+        for t in range(120):
+            p = tmp_path / f"fuzz_{t}.csv"
+            p.write_text(self._gen_table(rng), encoding="utf-8")
+            try:
+                ours = fastcsv.read_matrix_csv(str(p), fallback=False)
+            except RuntimeError:
+                continue  # refused -> wrapper falls back to pandas: safe
+            n_native_ok += 1
+            # native accepted: pandas must agree byte-for-byte (as float32)
+            ref = pd.read_csv(p, index_col=0)
+            try:
+                ref_num = ref.astype(np.float32)
+            except (ValueError, TypeError):
+                raise AssertionError(
+                    f"table {t}: native parsed a file pandas types as "
+                    f"non-numeric:\n{p.read_text()!r}"
+                )
+            assert ours.shape == ref_num.shape, (t, ours.shape, ref_num.shape)
+            assert [str(i) for i in ours.index] == [str(i) for i in ref.index]
+            assert [str(c) for c in ours.columns] == [str(c) for c in ref.columns]
+            np.testing.assert_allclose(
+                ours.values, ref_num.values, rtol=1e-5, atol=1e-30,
+                equal_nan=True, err_msg=f"table {t}:\n{p.read_text()!r}",
+            )
+        # a meaningful fraction of tables must go through the native path
+        # (most generated tables contain at least one adversarial field, so
+        # refusing them is correct — but clean tables must parse natively)
+        assert n_native_ok >= 15, n_native_ok
+
 
 class TestShardedLaplacian:
     def test_matches_single_device(self, rng):

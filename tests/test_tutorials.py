@@ -27,6 +27,7 @@ def _run_tutorial(name, monkeypatch):
         "survival_subtypes_tutorial",
         "gnn_custom_networks_tutorial",
         "crossmodal_translation_tutorial",
+        "cbioportal_tutorial",
     ],
 )
 def test_tutorial_runs(name, monkeypatch):
