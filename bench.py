@@ -12,8 +12,9 @@ sequentially — the same compute the reference performs per trial
 
 Ours: K trials trained concurrently via vmap (parallel/trials.py) on the
 TPU chip. Scale: n=2000 samples, gex=2000 + cnv=1000 features (post-
-feature-selection BRCA-like), latent 64. The bench sweeps the trial count
-K (16..384) and reports the best point; K=512 exhausts v5e HBM.
+feature-selection BRCA-like), latent 64. The budget run measures the
+known-best K=512 (see K_SWEEP comment for the recorded full curve and the
+env flags that re-measure it); K=768 exhausts v5e HBM.
 
 Roofline accounting (v5e: 197 bf16 TFLOP/s, 819 GB/s HBM): this workload
 is HBM-bound, not MXU-bound. Per trial-step at batch 64 with float32
@@ -46,7 +47,6 @@ from __future__ import annotations
 
 import json
 import os
-import threading
 import time
 
 import numpy as np
@@ -676,6 +676,9 @@ def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
     """Fine-tuner grid (3 lr x 3 freeze x 5 folds = 45 cells) vmapped vs the
     reference's sequential loop (main.py:568-659), torch cost extrapolated
     from one measured cell."""
+    import contextlib
+    import sys
+
     from flexynesis_tpu.data.dataset import MultiOmicDataset
     from flexynesis_tpu.models.direct_pred import DirectPred
     from flexynesis_tpu.train.finetune import FineTuner
@@ -686,14 +689,17 @@ def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
            "batch_size": 32}
     model = DirectPred(cfg, ds, target_variables=["subtype"])
     model.init_params(ds)
-    ft = FineTuner(model, ds, max_epochs=epochs)
-    ft.run_experiments()  # warm-up compile
-    walls = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    # stdout carries ONLY the bench JSON line; the grid's INFO logs go to
+    # stderr so the driver's capture stays clean
+    with contextlib.redirect_stdout(sys.stderr):
         ft = FineTuner(model, ds, max_epochs=epochs)
-        ft.run_experiments()
-        walls.append(time.perf_counter() - t0)
+        ft.run_experiments()  # warm-up compile
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ft = FineTuner(model, ds, max_epochs=epochs)
+            ft.run_experiments()
+            walls.append(time.perf_counter() - t0)
     tpu_wall = float(np.min(walls))
 
     # one torch-CPU cell at the same shapes, scaled to the 45-cell grid
@@ -711,24 +717,24 @@ def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
 
 # ---------------------------------------------------------------------------
 # Emission machinery: the driver captures exactly ONE JSON line within its
-# timeout. Results stream into a shared snapshot as each section finishes,
-# and a watchdog thread emits that snapshot and exits the process if the
-# main thread is still blocked at the hard deadline (the axon tunnel has
-# been observed to hang a grant mid-run) — a stall can delay sections but
-# can never discard completed ones or lose the headline line.
+# timeout. The bench runs in a FORKED WORKER that writes a result snapshot
+# to a side file after every completed measurement; the parent process is a
+# pure-Python supervisor that never touches the TPU tunnel, so it cannot
+# hang — at the hard deadline it kills the worker and prints the latest
+# snapshot, rc 0. (An in-process watchdog thread was tried first and was
+# observed starved for >100s when the main thread blocked inside the
+# tunnel's C layer without releasing the GIL.) A stall can delay sections
+# but can never discard completed ones or lose the headline line.
 # ---------------------------------------------------------------------------
 
-_EMIT_LOCK = threading.Lock()
-_EMITTED = False
+_SNAPSHOT_PATH = os.environ.get("BENCH_SNAPSHOT", "/tmp/bench_snapshot.json")
 
 
-def _emit(result) -> None:
-    global _EMITTED
-    with _EMIT_LOCK:
-        if _EMITTED:
-            return
-        _EMITTED = True
-        print(json.dumps(result), flush=True)
+def _write_snapshot(result) -> None:
+    tmp = _SNAPSHOT_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(result, fh)
+    os.replace(tmp, _SNAPSHOT_PATH)
 
 
 # worst-case section costs (seconds, compile through the remote-compile
@@ -748,10 +754,68 @@ _SECTION_EST_S = {
 
 
 def main():
+    import signal
+    import sys
+
+    # 540s + 60s grace = guaranteed emission within 10 minutes of process
+    # start; the r01/r02 driver captured >=430s runs without truncation,
+    # and the tunnel's 2-4x contention swings need the headroom (a fast
+    # run finishes everything in ~6 min regardless)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 540))
+    deadline = time.monotonic() + budget_s + 60
+
+    try:
+        os.remove(_SNAPSHOT_PATH)  # never emit a previous run's snapshot
+    except FileNotFoundError:
+        pass
+
+    pid = os.fork()  # fork BEFORE any jax backend init
+    if pid == 0:
+        # ---- worker: all real work; stdout redirected so the supervisor
+        # owns the one-JSON-line contract
+        import contextlib
+        import traceback
+
+        rc = 0
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                _main_body(budget_s)
+        except BaseException:
+            traceback.print_exc(file=sys.stderr)
+            rc = 1
+        os._exit(rc)
+
+    # ---- supervisor: pure Python, no tunnel access, cannot hang
+    worker_done = False
+    while time.monotonic() < deadline:
+        done_pid, _ = os.waitpid(pid, os.WNOHANG)
+        if done_pid:
+            worker_done = True
+            break
+        time.sleep(0.5)
+    if not worker_done:
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        os.waitpid(pid, 0)
+    try:
+        with open(_SNAPSHOT_PATH) as fh:
+            result = json.load(fh)
+        if not worker_done:
+            result.setdefault("extra", {})["deadline_killed"] = True
+    except Exception:
+        result = {
+            "metric": "HPO trials/hour (DirectPred, BRCA-scale 2-omic, "
+                      "vmapped trials)",
+            "value": 0.0, "unit": "trials/hour", "vs_baseline": 0.0,
+            "extra": {"error": "worker produced no snapshot"},
+        }
+    print(json.dumps(result), flush=True)
+
+
+def _main_body(budget_s: float):
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 420))
-    # grace window covers the section in flight when the budget ends
-    hard_deadline = t_start + budget_s + 110
 
     extras = {
         "epochs_per_trial": EPOCHS,
@@ -771,15 +835,7 @@ def main():
         "extra": extras,
     }
 
-    def watchdog():
-        while not _EMITTED:
-            if time.perf_counter() >= hard_deadline:
-                extras["watchdog_fired"] = True
-                _emit(result)
-                os._exit(0)
-            time.sleep(1.0)
-
-    threading.Thread(target=watchdog, daemon=True).start()
+    _write_snapshot(result)  # a killed worker still yields a valid line
 
     gex, cnv, cls = _synth()
 
@@ -798,7 +854,7 @@ def main():
     # trial-count scaling sweep: the workload is HBM-bound (see module
     # docstring), so trials/hour climbs with K until HBM saturates.
     # best-so-far streams into the snapshot after every K point, so a
-    # watchdog emit mid-sweep still carries a real headline.
+    # deadline kill mid-sweep still emits a real headline.
     n_train = int(N_SAMPLES * 0.8)
     sweep = {}
     extras["trial_count_sweep_trials_per_hour"] = sweep
@@ -828,6 +884,7 @@ def main():
             samples_per_sec * FLOP_PER_SAMPLE / V5E_BF16_PEAK, 4
         )
         extras["vs_32core_extrapolated"] = round(best_tph / (torch_tph * 32), 2)
+        _write_snapshot(result)
     extras["torch_cpu_train_samples_per_sec"] = round(
         EPOCHS * (N_SAMPLES // BATCH) * BATCH / torch_trial_s, 0
     )
@@ -853,6 +910,7 @@ def main():
                 "section": name,
                 "error": f"{type(e).__name__}: {e}"[:200],
             }
+        _write_snapshot(result)
 
     # priority order (VERDICT r2 #1): the cheap inference probe, then the
     # three sections carrying previously-unverified claims (ig, large-model
@@ -867,7 +925,7 @@ def main():
                 lambda: bench_finetuner(gex, cnv, cls))
 
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
-    _emit(result)
+    _write_snapshot(result)
 
 
 if __name__ == "__main__":
