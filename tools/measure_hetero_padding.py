@@ -57,15 +57,22 @@ def make_ds(seed=0):
 
 
 def gp_like_round(seed=3):
-    """K suggestions as a GP round would produce them: quantized dims."""
+    """K suggestions as a GP round would produce them: quantized dims.
+
+    Dims are drawn from the quantized grid that config.py uses exactly so
+    trial shapes can bucket (4 latents; factor/sup fixed — a favourable
+    case FOR bucketing, since fewer buckets means fewer compiles; if
+    padding wins here it wins a fortiori on wider rounds, where bucketing
+    pays a ~60-110s tunnel compile per extra distinct shape).
+    """
     rng = np.random.default_rng(seed)
     sugg = []
     for _ in range(K):
         sugg.append({
-            "latent_dim": int(rng.choice([16, 32, 48, 64, 80, 96, 112, 128])),
-            "hidden_dim_factor": float(rng.choice([0.2, 0.3, 0.4, 0.5])),
+            "latent_dim": int(rng.choice([16, 48, 96, 128])),
+            "hidden_dim_factor": 0.3,
             "lr": float(10 ** rng.uniform(-4, -2)),
-            "supervisor_hidden_dim": int(rng.choice([8, 16, 24, 32])),
+            "supervisor_hidden_dim": 16,
             "epochs": EPOCHS,
             "batch_size": BATCH,
         })
