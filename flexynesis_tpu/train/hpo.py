@@ -205,6 +205,10 @@ class HyperparameterTuning:
             batch_size=int(params["batch_size"]),
             max_epochs=int(params["epochs"]),
             early_stop_patience=self.early_stop_patience,
+            # fresh-init trials use the SR-bf16 engine like every other
+            # parallel round (deterministic hash-based rounding, so the
+            # fused-CV path stays bit-comparable — ops/sr_adam.py)
+            param_dtype="bfloat16_sr",
         )
         avg_loss = float(np.mean(out["best_val_loss"]))
         avg_epochs = int(np.mean(out["best_epoch"]))
@@ -392,6 +396,7 @@ class HyperparameterTuning:
             batch_size=int(group[0]["batch_size"]),
             max_epochs=int(group[0]["epochs"]),
             early_stop_patience=self.early_stop_patience,
+            param_dtype="bfloat16_sr",
         )
         loss = np.asarray(out["best_val_loss"]).reshape(K, k).mean(axis=1)
         ep = np.asarray(out["best_epoch"]).reshape(K, k).mean(axis=1)

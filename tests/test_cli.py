@@ -425,6 +425,25 @@ class TestHpoBatchDefault:
         out = capsys.readouterr().out
         assert "Training 4 same-architecture trials" in out
 
+    def test_cli_batched_cv_rounds_fuse_folds(
+        self, data_path, tmp_path, capsys
+    ):
+        """--use_cv with a batched round trains suggestions x folds as one
+        vmapped program (VERDICT r2 #3) through the CLI surface."""
+        outdir = str(tmp_path / "outcv")
+        _write_small_space(outdir, "DirectPred")
+        rc = _run(data_path, outdir, [
+            "--model_class", "DirectPred",
+            "--data_types", "gex",
+            "--target_variables", "subtype",
+            "--hpo_iter", "3",
+            "--hpo_batch", "3",
+            "--use_cv",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "3 suggestions x 5 CV folds = 15 trials concurrently" in out
+
 
 class TestCLIValidation:
     def _expect_error(self, args):
