@@ -84,6 +84,7 @@ def vmapped_grid_fit(
     matmul_precision: str = "bfloat16",
     moment_dtype: str = "bfloat16",
     param_dtype: str = "float32",
+    mesh=None,
 ):
     """Train T trials with PER-TRIAL data splits concurrently under vmap.
 
@@ -93,6 +94,8 @@ def vmapped_grid_fit(
     dataset, its own lr/seed, and (optionally) its own parameter-update mask.
     ``start_params=None`` initializes fresh per-seed parameters; otherwise
     the given (unstacked) params/stats broadcast to all trials (fine-tuning).
+    ``mesh`` shards the T (trial) axis over the mesh's ``trial`` axis —
+    T must divide evenly; callers pass mesh=None otherwise.
     Returns {best_val_loss (T,), best_epoch (T,), epochs_run}.
     """
     T = len(lrs)
@@ -197,6 +200,18 @@ def vmapped_grid_fit(
     aux_dev = (
         jax.tree.map(jnp.asarray, aux) if aux is not None else None
     )
+    if mesh is not None:
+        from .mesh import shard_leading_axis, trial_sharding
+
+        sh = trial_sharding(mesh)
+        params = shard_leading_axis(params, sh)
+        opt_state = shard_leading_axis(opt_state, sh)
+        stats = shard_leading_axis(stats, sh)
+        masks_tree = shard_leading_axis(masks_tree, sh)
+        tr = jax.device_put(tr, sh)
+        va = jax.device_put(va, sh)
+        if aux_dev is not None:
+            aux_dev = shard_leading_axis(aux_dev, sh)
     best = np.full(T, np.inf)
     best_epoch = np.zeros(T, dtype=int)
     stall = np.zeros(T, dtype=int)

@@ -168,6 +168,14 @@ class FineTuner:
             f"[INFO] Fine-tuning grid: {len(combos)} (lr x freeze) combos "
             f"x {k} folds = {T} concurrent vmapped fits"
         )
+        # shard the grid over the visible devices when it divides evenly
+        # (same auto policy as HyperparameterTuning._trial_mesh)
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and T % n_dev == 0:
+            from ..parallel.mesh import get_mesh
+
+            mesh = get_mesh((("trial", n_dev),))
         out = vmapped_grid_fit(
             model,
             self.dataset,
@@ -181,6 +189,7 @@ class FineTuner:
             batch_size=min(32, fold_train.shape[1]),
             max_epochs=self.max_epochs,
             early_stop_patience=self.early_stop_patience,
+            mesh=mesh,
         )
         per_combo = out["best_val_loss"].reshape(len(combos), k).mean(axis=1)
         for (lr, freeze), avg in zip(combos, per_combo):

@@ -58,6 +58,7 @@ class HyperparameterTuning:
         checkpoint_path: Optional[str] = None,
         batch_ask: int = 1,
         seed: int = 42,
+        mesh=None,
     ):
         self.dataset = dataset
         self.model_class = model_class
@@ -80,6 +81,9 @@ class HyperparameterTuning:
         self.checkpoint_path = checkpoint_path
         self.batch_ask = max(int(batch_ask), 1)
         self.seed = seed
+        # explicit mesh, or None -> auto-build a trial mesh per round when
+        # multiple devices are visible (_trial_mesh)
+        self.mesh = mesh
         # CV folds of a trial train concurrently (vmapped) by default —
         # SURVEY §2.3 item 3; set False to reproduce sequential fold fits
         self.parallel_folds = True
@@ -133,6 +137,28 @@ class HyperparameterTuning:
             args["input_layers"] = self.input_layers
             args["output_layers"] = self.output_layers
         return args
+
+    def _trial_mesh(self, n_trials: int):
+        """Trial-axis mesh for an n_trials round, or None.
+
+        The reference never distributes (SURVEY §2.3/§5.8); here every
+        parallel round shards its stacked trial axis over the visible
+        devices whenever the trial count divides evenly — so a v5e-8 slice
+        trains 8 shards of a round concurrently with zero flag changes.
+        An explicit ``mesh=`` passed to __init__ wins; single-device
+        processes and non-divisible rounds run unsharded (plain vmap).
+        """
+        if self.mesh is not None:
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            return self.mesh if n_trials % n_dev == 0 else None
+        import jax
+
+        n_dev = len(jax.devices())
+        if n_dev > 1 and n_trials % n_dev == 0:
+            from ..parallel.mesh import get_mesh
+
+            return get_mesh((("trial", n_dev),))
+        return None
 
     def objective(self, params: dict, full_train: bool = False):
         """Train with ``params``; returns (avg_val_loss, avg_epochs, model),
@@ -209,6 +235,7 @@ class HyperparameterTuning:
             # parallel round (deterministic hash-based rounding, so the
             # fused-CV path stays bit-comparable — ops/sr_adam.py)
             param_dtype="bfloat16_sr",
+            mesh=self._trial_mesh(k),
         )
         avg_loss = float(np.mean(out["best_val_loss"]))
         avg_epochs = int(np.mean(out["best_epoch"]))
@@ -324,6 +351,7 @@ class HyperparameterTuning:
             batch_size=int(group[0]["batch_size"]),
             max_epochs=int(group[0]["epochs"]),
             early_stop_patience=self.early_stop_patience,
+            mesh=self._trial_mesh(len(group)),
             # fresh-init rounds: stochastically-rounded bf16 params are
             # convergence-equivalent and ~1.3x faster (ops/sr_adam.py);
             # warm-started fits (fine-tuner) keep float32
@@ -397,6 +425,7 @@ class HyperparameterTuning:
             max_epochs=int(group[0]["epochs"]),
             early_stop_patience=self.early_stop_patience,
             param_dtype="bfloat16_sr",
+            mesh=self._trial_mesh(K * k),
         )
         loss = np.asarray(out["best_val_loss"]).reshape(K, k).mean(axis=1)
         ep = np.asarray(out["best_epoch"]).reshape(K, k).mean(axis=1)
@@ -409,7 +438,8 @@ class HyperparameterTuning:
         n = self.n_units
         train_idx, val_idx = train_val_split(n, self.val_size, seed=self.seed)
         template = self.model_class(**self._model_args(group[0]))
-        pt = ParallelTrials(template, self.dataset)
+        pt = ParallelTrials(template, self.dataset,
+                            mesh=self._trial_mesh(len(group)))
         lrs = np.asarray([p["lr"] for p in group], np.float32)
         seeds = np.full(len(group), self.seed, np.int64)
         print(

@@ -153,3 +153,55 @@ class TestPartitionTrials:
         sugg = [{"i": i} for i in range(3)]
         # single-process test env: identity partition
         assert partition_trials(sugg) == sugg
+
+
+class TestAutoTrialMesh:
+    """HPO rounds auto-shard their trial axis over the visible devices
+    (8 virtual CPU devices in tests) whenever the trial count divides."""
+
+    def _tuner(self, train_ds, **kw):
+        from flexynesis_tpu.train.hpo import HyperparameterTuning
+
+        return HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=1, **kw,
+        )
+
+    def test_trial_mesh_policy(self, train_ds):
+        tuner = self._tuner(train_ds)
+        assert tuner._trial_mesh(8) is not None     # 8 % 8 == 0
+        assert tuner._trial_mesh(40) is not None    # 8 suggestions x 5 folds
+        assert tuner._trial_mesh(7) is None         # uneven -> plain vmap
+        assert tuner._trial_mesh(4) is None
+
+    def test_explicit_mesh_wins(self, train_ds):
+        mesh = get_mesh((("trial", 8),))
+        tuner = self._tuner(train_ds, mesh=mesh)
+        assert tuner._trial_mesh(16) is mesh
+        assert tuner._trial_mesh(3) is None
+
+    def test_sharded_group_trains(self, train_ds):
+        """An 8-suggestion same-arch round engages the mesh and converges."""
+        tuner = self._tuner(train_ds)
+        base = {"latent_dim": 16, "lr": 1e-3, "hidden_dim_factor": 0.3,
+                "supervisor_hidden_dim": 8, "epochs": 8, "batch_size": 32}
+        group = [dict(base, lr=l) for l in np.geomspace(1e-4, 1e-2, 8)]
+        assert tuner._trial_mesh(len(group)) is not None
+        results = tuner._run_parallel_group(group)
+        assert len(results) == 8
+        assert all(np.isfinite(l) for l, _, _ in results)
+
+    def test_sharded_fused_cv_matches_unsharded(self, train_ds):
+        """8 suggestions x 5 folds = 40 trials shard over 8 devices; the
+        per-suggestion fold-means must match the unsharded program."""
+        tuner = self._tuner(train_ds, use_cv=True, cv_splits=5)
+        base = {"latent_dim": 16, "lr": 1e-3, "hidden_dim_factor": 0.3,
+                "supervisor_hidden_dim": 8, "epochs": 4, "batch_size": 32}
+        group = [dict(base, lr=l) for l in np.geomspace(1e-4, 1e-2, 8)]
+        sharded = tuner._run_parallel_group_cv(group)
+
+        tuner_nomesh = self._tuner(train_ds, use_cv=True, cv_splits=5)
+        tuner_nomesh._trial_mesh = lambda n: None
+        unsharded = tuner_nomesh._run_parallel_group_cv(group)
+        for (a, _, _), (b, _, _) in zip(sharded, unsharded):
+            np.testing.assert_allclose(a, b, rtol=2e-3)
