@@ -787,10 +787,12 @@ def main():
 
     # ---- supervisor: pure Python, no tunnel access, cannot hang
     worker_done = False
+    worker_rc = None
     while time.monotonic() < deadline:
-        done_pid, _ = os.waitpid(pid, os.WNOHANG)
+        done_pid, status = os.waitpid(pid, os.WNOHANG)
         if done_pid:
             worker_done = True
+            worker_rc = os.waitstatus_to_exitcode(status)
             break
         time.sleep(0.5)
     if not worker_done:
@@ -804,6 +806,8 @@ def main():
             result = json.load(fh)
         if not worker_done:
             result.setdefault("extra", {})["deadline_killed"] = True
+        elif worker_rc:  # crashed worker: flag it, never report a clean 0
+            result.setdefault("extra", {})["worker_error_rc"] = worker_rc
     except Exception:
         result = {
             "metric": "HPO trials/hour (DirectPred, BRCA-scale 2-omic, "

@@ -41,6 +41,23 @@ def trial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("trial"))
 
 
+def auto_trial_mesh(n_trials: int):
+    """Trial mesh over this process's LOCAL devices when ``n_trials``
+    divides evenly; None otherwise (plain vmap).
+
+    Local, not global, devices: under multi-host HPO each host trains its
+    own ``partition_trials`` suggestion shard on its own chips — a global
+    mesh would ask each host to device_put host-local arrays onto
+    non-addressable devices. The shared policy for HyperparameterTuning
+    and FineTuner rounds.
+    """
+    devices = jax.local_devices()
+    n_dev = len(devices)
+    if n_dev > 1 and n_trials % n_dev == 0:
+        return Mesh(np.asarray(devices).reshape(n_dev), ("trial",))
+    return None
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding."""
     return NamedSharding(mesh, P("data"))

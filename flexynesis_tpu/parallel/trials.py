@@ -124,13 +124,15 @@ def vmapped_grid_fit(
     )
 
     def one_trial_epoch(params, opt_state, stats, rng, lr, mask, tr_i, va_i,
-                        aux_i):
+                        aux_i, data):
+        samples, shared = data["per_sample"], data["static"]
+
         def step(carry, batch_idx):
             params, opt_state, stats, rng = carry
             rng, srng = jax.random.split(rng)
             rows = tr_i[batch_idx]
-            batch = jax.tree.map(lambda a: a[rows], per_sample)
-            batch.update(static)
+            batch = jax.tree.map(lambda a: a[rows], samples)
+            batch.update(shared)
             if aux_i is not None:
                 batch["_aux"] = aux_i
 
@@ -152,8 +154,8 @@ def vmapped_grid_fit(
         (params, opt_state, stats, rng), _ = jax.lax.scan(
             step, (params, opt_state, stats, rng), order
         )
-        val_batch = jax.tree.map(lambda a: a[va_i], per_sample)
-        val_batch.update(static)
+        val_batch = jax.tree.map(lambda a: a[va_i], samples)
+        val_batch.update(shared)
         if aux_i is not None:
             val_batch["_aux"] = aux_i
         _, (losses, _) = loss_fn(cast32(params), stats, val_batch, None, False)
@@ -161,12 +163,17 @@ def vmapped_grid_fit(
 
     # donate the per-epoch carried buffers (params/opt/stats/rngs) — they are
     # reassigned from the outputs every epoch, so XLA can update in place
-    # instead of double-buffering the largest arrays
+    # instead of double-buffering the largest arrays. The dataset is a jit
+    # ARGUMENT (broadcast across trials, in_axes=None), never a closure
+    # constant: closed-over arrays inline into the HLO, which the
+    # remote-compile tunnel rejects for real datasets (HTTP 413).
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def epoch_vmapped(params, opt_state, stats, rngs, lrs, masks, tr, va, aux):
-        return jax.vmap(one_trial_epoch)(
-            params, opt_state, stats, rngs, lrs, masks, tr, va, aux
-        )
+    def epoch_vmapped(params, opt_state, stats, rngs, lrs, masks, tr, va, aux,
+                      data):
+        return jax.vmap(
+            one_trial_epoch,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None),
+        )(params, opt_state, stats, rngs, lrs, masks, tr, va, aux, data)
 
     if start_params is not None:
         first = jax.tree_util.tree_leaves(start_params)[0]
@@ -216,11 +223,15 @@ def vmapped_grid_fit(
     best_epoch = np.zeros(T, dtype=int)
     stall = np.zeros(T, dtype=int)
     epochs_run = 0
+    data_arg = {
+        "per_sample": jax.tree.map(jnp.asarray, per_sample),
+        "static": jax.tree.map(jnp.asarray, static),
+    }
     for epoch in range(max_epochs):
         with jax.default_matmul_precision(matmul_precision):
             params, opt_state, stats, rngs, vloss = epoch_vmapped(
                 params, opt_state, stats, rngs, lrs_dev, masks_tree, tr, va,
-                aux_dev,
+                aux_dev, data_arg,
             )
         epochs_run = epoch + 1
         v = np.asarray(vloss)

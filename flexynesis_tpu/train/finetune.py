@@ -168,14 +168,11 @@ class FineTuner:
             f"[INFO] Fine-tuning grid: {len(combos)} (lr x freeze) combos "
             f"x {k} folds = {T} concurrent vmapped fits"
         )
-        # shard the grid over the visible devices when it divides evenly
-        # (same auto policy as HyperparameterTuning._trial_mesh)
-        mesh = None
-        n_dev = len(jax.devices())
-        if n_dev > 1 and T % n_dev == 0:
-            from ..parallel.mesh import get_mesh
+        # shard the grid over the local devices when it divides evenly
+        # (shared policy: parallel.mesh.auto_trial_mesh)
+        from ..parallel.mesh import auto_trial_mesh
 
-            mesh = get_mesh((("trial", n_dev),))
+        mesh = auto_trial_mesh(T)
         out = vmapped_grid_fit(
             model,
             self.dataset,

@@ -142,23 +142,19 @@ class HyperparameterTuning:
         """Trial-axis mesh for an n_trials round, or None.
 
         The reference never distributes (SURVEY §2.3/§5.8); here every
-        parallel round shards its stacked trial axis over the visible
-        devices whenever the trial count divides evenly — so a v5e-8 slice
-        trains 8 shards of a round concurrently with zero flag changes.
-        An explicit ``mesh=`` passed to __init__ wins; single-device
-        processes and non-divisible rounds run unsharded (plain vmap).
+        parallel round shards its stacked trial axis over this process's
+        local devices whenever the trial count divides evenly — so a
+        v5e-8 slice trains 8 shards of a round concurrently with zero flag
+        changes (parallel.mesh.auto_trial_mesh). An explicit ``mesh=``
+        passed to __init__ wins; single-device processes and non-divisible
+        rounds run unsharded (plain vmap).
         """
         if self.mesh is not None:
             n_dev = int(np.prod(self.mesh.devices.shape))
             return self.mesh if n_trials % n_dev == 0 else None
-        import jax
+        from ..parallel.mesh import auto_trial_mesh
 
-        n_dev = len(jax.devices())
-        if n_dev > 1 and n_trials % n_dev == 0:
-            from ..parallel.mesh import get_mesh
-
-            return get_mesh((("trial", n_dev),))
-        return None
+        return auto_trial_mesh(n_trials)
 
     def objective(self, params: dict, full_train: bool = False):
         """Train with ``params``; returns (avg_val_loss, avg_epochs, model),

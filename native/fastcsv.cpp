@@ -49,30 +49,46 @@ struct FcsvMatrix {
 
 namespace {
 
+// pandas' default NA tokens (io.parsers STR_NA_VALUES) — matched EXACTLY
+// (case-sensitive, untrimmed), because pandas does: 'NAN', 'Null', ' NA '
+// are all typed as str by pandas, so the native path must refuse them
+// rather than silently coerce to NaN (match-or-refuse contract).
+static const char* const kNaTokens[] = {
+    "NA", "NaN", "nan", "NULL", "null", "None", "N/A", "n/a", "-NaN",
+    "-nan", "<NA>", "#N/A", "#NA", "#N/A N/A", "1.#IND", "1.#QNAN",
+    "-1.#IND", "-1.#QNAN",
+};
+
 inline const char* parse_float(const char* p, const char* end, float* out,
                                bool* ok) {
-  // skip leading spaces
-  while (p < end && *p == ' ') ++p;
-  const char* field_start = p;
-  // find end of field
+  const char* raw_start = p;
   const char* q = p;
   while (q < end && *q != ',' && *q != '\n' && *q != '\r') ++q;
-  // trim trailing spaces (pandas accepts "1.0 " as numeric)
-  const char* fe = q;
-  while (fe > field_start && fe[-1] == ' ') --fe;
-  size_t len = static_cast<size_t>(fe - field_start);
-  if (len == 0) {
+  const char* raw_end = q;
+  size_t raw_len = static_cast<size_t>(raw_end - raw_start);
+  if (raw_len == 0) {  // truly empty field -> NaN (pandas agrees)
     *out = NAN;
     return q;
   }
-  if ((len == 2 && strncasecmp(field_start, "NA", 2) == 0) ||
-      (len == 3 && strncasecmp(field_start, "NaN", 3) == 0) ||
-      (len == 4 && strncasecmp(field_start, "null", 4) == 0)) {
+  for (const char* tok : kNaTokens) {
+    size_t n = strlen(tok);
+    if (raw_len == n && memcmp(raw_start, tok, n) == 0) {
+      *out = NAN;
+      return q;
+    }
+  }
+  // numeric parse: spaces trimmed both sides (pandas accepts " 1.5 ")
+  const char* fs = raw_start;
+  while (fs < raw_end && *fs == ' ') ++fs;
+  const char* fe = raw_end;
+  while (fe > fs && fe[-1] == ' ') --fe;
+  if (fs == fe) {  // spaces-only field: pandas semantics unclear -> refuse
+    *ok = false;
     *out = NAN;
     return q;
   }
   float v;
-  auto res = std::from_chars(field_start, fe, v);
+  auto res = std::from_chars(fs, fe, v);
   // the whole field must be numeric: trailing garbage ("12x", a mid-field
   // quote) means pandas would type the column as object — abort to the
   // pandas fallback instead of silently coercing to the numeric prefix
@@ -80,6 +96,22 @@ inline const char* parse_float(const char* p, const char* end, float* out,
     *ok = false;
     *out = NAN;
     return q;
+  }
+  // from_chars accepts case-variant nan/inf spellings ("NAN", "Inf") that
+  // pandas types as str; only the exact spellings pandas parses pass
+  if (std::isnan(v)) {  // nan-token fields were handled above
+    *ok = false;
+    return q;
+  }
+  if (std::isinf(v)) {
+    size_t n = static_cast<size_t>(fe - fs);
+    bool exact = (n == 3 && memcmp(fs, "inf", 3) == 0) ||
+                 (n == 4 && (memcmp(fs, "-inf", 4) == 0 ||
+                             memcmp(fs, "+inf", 4) == 0));
+    if (!exact) {  // "Inf", "INFINITY", ... -> refuse, pandas decides
+      *ok = false;
+      return q;
+    }
   }
   *out = v;
   return q;

@@ -257,16 +257,20 @@ class TestFastCSV:
 
         if fastcsv._ensure_built() is None:
             _pytest.skip("native fastcsv unavailable")
-        for bad in ("12x", '1.0"', "1.0.5", "N/A"):
+        # "NAN"/"Null"/" NA "/"Inf" are typed as str by pandas (its NA-token
+        # match is exact and case-sensitive), so native must refuse them too
+        for bad in ("12x", '1.0"', "1.0.5", "NAN", "Null", " NA ", "Inf"):
             p = tmp_path / "garbage.csv"
             p.write_text(f",S1,S2\ng1,1.5,{bad}\ng2,2.0,3.0\n")
             with _pytest.raises(RuntimeError):
                 fastcsv.read_matrix_csv(str(p), fallback=False)
-        # trailing spaces around numbers are fine (pandas accepts them)
+        # exact pandas NA tokens and padded numerics parse natively
         p = tmp_path / "spaces.csv"
-        p.write_text(",S1,S2\ng1, 1.5 ,2.0\n")
+        p.write_text(",S1,S2\ng1, 1.5 ,N/A\ng2,inf,-inf\n")
         a = fastcsv.read_matrix_csv(str(p), fallback=False)
         assert a.loc["g1", "S1"] == 1.5
+        assert np.isnan(a.loc["g1", "S2"])
+        assert np.isinf(a.loc["g2", "S1"]) and a.loc["g2", "S2"] < 0
 
 
 class TestFastCSVFuzz:
@@ -292,13 +296,16 @@ class TestFastCSVFuzz:
             if r < 0.80:
                 return ""
             if r < 0.90:
-                return str(rng.choice(["NA", "NaN", "nan", "null", "NULL"]))
+                return str(rng.choice(["NA", "NaN", "nan", "null", "NULL",
+                                       "N/A", "None"]))
             if r < 0.94:
                 return f" {rng.normal():.4g} "      # padded numeric
             if r < 0.97:
                 return str(rng.choice(["inf", "-inf"]))
-            # adversarial: garbage / partial numerics / pandas-only NA
-            return str(rng.choice(["12x", "1.0.5", "N/A", "--3", "1e", "x"]))
+            # adversarial: garbage / partial numerics / case-variant tokens
+            # that pandas types as str (native must refuse, not coerce)
+            return str(rng.choice(["12x", "1.0.5", "NAN", "Null", "Inf",
+                                   " NA ", "--3", "1e", "x"]))
 
         header_cells = [""] + [f"S{j}" for j in range(n_cols)]
         rows = []

@@ -245,7 +245,9 @@ class TestFusedCVGroups:
         fused = tuner._run_parallel_group_cv(group)
         seq = [tuner._objective_cv_parallel(p, tuner.n_units) for p in group]
         for (fl, fe, _), (sl, se, _) in zip(fused, seq):
-            np.testing.assert_allclose(fl, sl, rtol=2e-3), (fused, seq)
+            np.testing.assert_allclose(
+                fl, sl, rtol=2e-3, err_msg=f"fused={fused} seq={seq}"
+            )
 
     def test_fused_hetero_architectures(self, train_ds):
         """Mixed latent dims in one CV round: padded K*k program runs and
