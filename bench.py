@@ -750,7 +750,72 @@ _SECTION_EST_S = {
     "vae": 75,
     "gnn": 70,
     "finetuner": 90,
+    "gp": 20,
+    "ingestion": 30,
 }
+
+
+def bench_gp_overhead(histories=(100, 300), q=64):
+    """Host-side GP ask/tell cost per suggestion (no TPU involved).
+
+    The headline engine trains ~60+ trials/second, so the Bayesian
+    optimizer's host time is a real part of end-to-end HPO throughput.
+    Reports ms/suggestion for a batched ask at reference-scale histories
+    and the implied end-to-end trials/hour when combined with the
+    measured engine rate."""
+    from flexynesis_tpu.config import get_search_space
+    from flexynesis_tpu.train.gp import BayesianOptimizer
+
+    out = {}
+    for n_hist in histories:
+        space = get_search_space("DirectPred")
+        opt = BayesianOptimizer(space, n_initial_points=10, seed=0)
+        rng = np.random.default_rng(0)
+        for _ in range(n_hist):  # synthetic observed history
+            p = space.sample(rng)
+            opt.tell(p, float(rng.normal()))
+        t0 = time.perf_counter()
+        sugg = opt.ask(q)
+        for p in sugg:
+            opt.tell(p, float(rng.normal()))
+        wall = time.perf_counter() - t0
+        out[f"ms_per_suggestion_hist{n_hist}"] = round(wall * 1000 / q, 2)
+    return out
+
+
+def bench_ingestion(n_rows=20000, n_cols=2000):
+    """Native fastcsv vs pandas on a 20k x 2k float matrix (the startup
+    ingestion hot path the C++ parser replaces — reference data.py:286)."""
+    import tempfile
+
+    import pandas as pd
+
+    from flexynesis_tpu.data import fastcsv
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        rng.normal(size=(n_rows, n_cols)).astype(np.float32),
+        index=[f"g{i}" for i in range(n_rows)],
+        columns=[f"S{j}" for j in range(n_cols)],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.csv")
+        df.to_csv(path)
+        if fastcsv._ensure_built() is None:
+            return {"error": "native fastcsv unavailable"}
+        t0 = time.perf_counter()
+        a = fastcsv.read_matrix_csv(path, fallback=False)
+        native_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b = pd.read_csv(path, index_col=0)
+        pandas_s = time.perf_counter() - t0
+        assert a.shape == b.shape
+    return {
+        "native_s": round(native_s, 3),
+        "pandas_s": round(pandas_s, 3),
+        "speedup": round(pandas_s / native_s, 2),
+        "shape": [n_rows, n_cols],
+    }
 
 
 def main():
@@ -927,6 +992,17 @@ def _main_body(budget_s: float):
     run_section("gnn", "gnn", bench_gnn)
     run_section("finetuner", "finetuner",
                 lambda: bench_finetuner(gex, cnv, cls))
+    run_section("gp_overhead", "gp", bench_gp_overhead)
+    run_section("csv_ingestion", "ingestion", bench_ingestion)
+
+    # end-to-end throughput: engine rate combined with the host GP cost
+    gp = extras.get("gp_overhead", {})
+    gp_ms = gp.get("ms_per_suggestion_hist100")
+    if gp_ms is not None and best_tph:
+        engine_ms = 3600e3 / best_tph
+        extras["e2e_trials_per_hour_incl_gp"] = round(
+            3600e3 / (engine_ms + gp_ms), 1
+        )
 
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)
