@@ -330,6 +330,17 @@ def _deserialize_json_artifacts(raw: dict) -> dict:
         if d is None:
             encoders[v] = None
             continue
+        if d.get("type") == "LabelEncoder":
+            # reference artifacts may carry LabelEncoders
+            # (reference __main__.py:1719-1723); normalize to the
+            # OrdinalEncoder form the pipeline uses — same class order,
+            # unknowns -> -1 (the framework-wide missing-label convention)
+            d = {
+                "type": "OrdinalEncoder",
+                "categories": [list(d["classes"])],
+                "handle_unknown": "use_encoded_value",
+                "unknown_value": -1,
+            }
         unk = d.get("unknown_value", -1)
         enc = OrdinalEncoder(
             handle_unknown=d.get("handle_unknown", "use_encoded_value"),

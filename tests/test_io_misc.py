@@ -126,6 +126,104 @@ class TestArtifactsJoblib:
         ]
 
 
+class TestReferenceArtifactCompat:
+    """A JSON artifact laid out exactly as the REFERENCE's writer emits it
+    (reference __main__.py:1660-1771 — including the extra OrdinalEncoder
+    fields and the LabelEncoder variant our own writer never produces)
+    must load and drive inference-mode import (SURVEY §7.3: 'we must emit
+    the same schema so reference-trained artifacts are readable')."""
+
+    def _reference_style_json(self, imp, tmp_path):
+        import json
+
+        scaler = imp.scalers["gex"]
+        enc = imp.label_encoders["subtype"]
+        cats = [
+            ("__NaN__" if isinstance(c, float) and np.isnan(c) else c)
+            for c in enc.categories_[0]
+        ]
+        raw = {
+            "schema_version": 1,
+            "data_types": ["gex"],
+            "original_modalities": ["gex"],
+            "target_variables": ["subtype"],
+            "covariate_vars": [],
+            "join_key": "JoinKey",
+            "string_organism": 9606,
+            "string_node_name": "gene_name",
+            "feature_lists": {"gex": list(imp.train_features["gex"])},
+            "transforms": {
+                "gex": {
+                    "type": "StandardScaler",
+                    "with_mean": True,
+                    "with_std": True,
+                    "mean": scaler.mean_.tolist(),
+                    "scale": scaler.scale_.tolist(),
+                    "var": scaler.var_.tolist(),
+                    "n_features_in": int(scaler.n_features_in_),
+                    "feature_names_in": list(scaler.feature_names_in_),
+                    "n_samples_seen": int(np.asarray(scaler.n_samples_seen_).ravel()[0]),
+                }
+            },
+            "label_encoders": {
+                # the reference's OrdinalEncoder dict carries fields our
+                # writer omits — they must be tolerated
+                "subtype": {
+                    "type": "OrdinalEncoder",
+                    "categories": [cats],
+                    "handle_unknown": "use_encoded_value",
+                    "unknown_value": -1,
+                    "encoded_missing_value": "__NaN__",
+                    "n_features_in": 1,
+                    "feature_names_in": ["subtype"],
+                    "_missing_indices": {},
+                    "_infrequent_enabled": False,
+                },
+                # and the LabelEncoder variant (reference __main__.py:1719)
+                "grade": {
+                    "type": "LabelEncoder",
+                    "classes": ["I", "II", "III"],
+                },
+            },
+        }
+        p = str(tmp_path / "ref.artifacts.json")
+        with open(p, "w") as fh:
+            json.dump(raw, fh, indent=2)
+        return p
+
+    def test_reference_json_loads_and_imports(self, tmp_path):
+        from flexynesis_tpu.data.importer import DataImporter
+        from flexynesis_tpu.data.inference_importer import DataImporterInference
+        from flexynesis_tpu.inference import load_and_sniff_artifacts
+
+        write_synthetic_folder(str(tmp_path / "d"), n_train=40, n_test=20, seed=4)
+        imp = DataImporter(
+            str(tmp_path / "d"), ["gex"], top_percentile=50, min_features=10
+        )
+        imp.import_data()
+        p = self._reference_style_json(imp, tmp_path)
+
+        loaded = load_and_sniff_artifacts(p)
+        from sklearn.preprocessing import OrdinalEncoder, StandardScaler
+
+        assert isinstance(loaded["transforms"]["gex"], StandardScaler)
+        assert isinstance(loaded["label_encoders"]["subtype"], OrdinalEncoder)
+        # LabelEncoder variant normalized to the pipeline's OrdinalEncoder
+        grade = loaded["label_encoders"]["grade"]
+        assert isinstance(grade, OrdinalEncoder)
+        assert list(grade.categories_[0]) == ["I", "II", "III"]
+
+        inf = DataImporterInference(
+            str(tmp_path / "d" / "test"), p, verbose=False
+        )
+        ds = inf.import_data()
+        assert len(ds) > 0
+        assert ds.dat["gex"].shape[1] == len(imp.train_features["gex"])
+        # labels re-encoded through the artifact encoder (missing -> -1)
+        labs = np.asarray(ds.ann["subtype"])
+        assert np.all((labs >= -1) | np.isnan(labs))
+
+
 class TestDeviceMgmt:
     def test_get_optimal_device(self):
         from flexynesis_tpu.utils.device import (
