@@ -72,7 +72,16 @@ def gradient_shap(
     rng: jax.Array,
     stdevs: float = 0.0,
 ):
-    """GradientShap with zero baselines: attr = E_u[ grad f(u*x + noise) ] * x."""
+    """GradientShap with zero baselines: attr = E_u[ grad f(u*(x+noise)) ] * x.
+
+    Captum semantics (InputBaselineXGradient): ONE uniform path coefficient
+    is drawn per (sample, draw) and SHARED across every input layer, so the
+    gradient is evaluated on the straight path between the joint baseline
+    and the joint input — independent per-layer scales would sample
+    off-path points and change the estimator for models with
+    cross-modality interactions. Noise (stdevs>0) perturbs the input
+    BEFORE scaling, like Captum's u*(x + noise - baseline).
+    """
 
     def scalar_out(xs):
         out = forward(xs)
@@ -80,25 +89,21 @@ def gradient_shap(
             return jnp.sum(out)
         return jnp.sum(out[:, target_class])
 
+    first = next(iter(x.values()))
+    n_batch = first.shape[0]
+
     def sample_attr(key):
         ku, kn = jax.random.split(key)
-        # one uniform scale per (sample, draw) — Captum rand_coefficient
-        u = {
-            k: jax.random.uniform(
-                jax.random.fold_in(ku, i), (v.shape[0],) + (1,) * (v.ndim - 1)
-            )
-            for i, (k, v) in enumerate(x.items())
-        }
-        pt = {
-            k: x[k] * u[k]
-            + (
-                stdevs
-                * jax.random.normal(jax.random.fold_in(kn, i), x[k].shape)
-                if stdevs > 0
-                else 0.0
-            )
-            for i, k in enumerate(x)
-        }
+        # one uniform scale per (sample, draw), shared across layers
+        u = jax.random.uniform(ku, (n_batch,) + (1,) * (first.ndim - 1))
+        pt = {}
+        for i, k in enumerate(x):
+            xi = x[k]
+            if stdevs > 0:
+                xi = xi + stdevs * jax.random.normal(
+                    jax.random.fold_in(kn, i), xi.shape
+                )
+            pt[k] = xi * u
         g = jax.grad(scalar_out)(pt)
         return jax.tree.map(lambda a, gg: a * gg, x, g)
 

@@ -61,23 +61,36 @@ def cox_ph_loss(
     durations = jnp.reshape(durations, (-1,)).astype(jnp.float32)
     events = jnp.reshape(events, (-1,)).astype(jnp.float32)
 
-    valid = jnp.isfinite(durations) & jnp.isfinite(events)
+    # non-finite model outputs join the invalid mask: the reference's guard
+    # (modules.py:303-304) returns a fresh detached 0.0 in that case, i.e.
+    # zero gradients — masking the rows reproduces that without NaNs ever
+    # entering the graph (a where() AFTER the fact fixes only the forward
+    # value; cotangents of log/exp at the bad rows would still be NaN and
+    # poison every parameter)
+    valid = (
+        jnp.isfinite(durations) & jnp.isfinite(events) & jnp.isfinite(outputs)
+    )
     # invalid rows -> -inf duration so they sort last in descending order
     d_sortkey = jnp.where(valid, durations, -jnp.inf)
     order = jnp.argsort(-d_sortkey)
 
-    out_sorted = outputs[order]
     valid_sorted = valid[order]
+    # double-where: bad rows are zeroed BEFORE any exp/log touches them
+    out_sorted = jnp.where(valid_sorted, outputs[order], 0.0)
     events_sorted = jnp.where(valid_sorted, events[order], 0.0)
 
     # stabilized log-cumsum-exp of risk over the descending-time order
     m = jnp.max(jnp.where(valid_sorted, out_sorted, -jnp.inf))
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     hazards = jnp.exp(out_sorted - m) * valid_sorted
-    log_risk_set = jnp.log(jnp.cumsum(hazards)) + m
+    # clamp the cumsum away from 0 (all-invalid prefix, or a first hazard
+    # that underflowed): max(., tiny) routes the gradient to the constant
+    # branch at clamped positions instead of producing 0/0
+    csum = jnp.maximum(jnp.cumsum(hazards), jnp.finfo(jnp.float32).tiny)
+    log_risk_set = jnp.log(csum) + m
 
     uncensored = jnp.sum(events_sorted * (out_sorted - log_risk_set))
-    n_events = jnp.sum(events * valid)
+    n_events = jnp.sum(jnp.where(valid, events, 0.0))
     loss = -uncensored / jnp.maximum(n_events, 1.0)
     loss = jnp.where(n_events > 0, loss, 0.0)
     return jnp.where(jnp.isfinite(loss), loss, 0.0)
@@ -102,18 +115,24 @@ def compute_total_loss(
     return jnp.asarray(sum(losses.values()))
 
 
-def gaussian_kernel(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def gaussian_kernel(
+    x: jnp.ndarray, y: jnp.ndarray, divisor=None
+) -> jnp.ndarray:
     """exp(-mean((x_i - y_j)^2) / dim) pairwise kernel (supervised_vae.py:494-518).
 
     Computed via the ||x||^2 + ||y||^2 - 2 x.y expansion so the O(B^2 d) work
     runs as one MXU matmul instead of materializing (B, B, d) differences.
+    ``divisor`` overrides the static dim^2 denominator — the padded-trial
+    masked variant passes the TRIAL's (traced) latent_dim^2 so the padded
+    network computes the smaller architecture's exact kernel.
     """
     dim = x.shape[-1]
     x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)  # (nx, 1)
     y2 = jnp.sum(jnp.square(y), axis=-1, keepdims=True).T  # (1, ny)
     xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
     sq = jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
-    return jnp.exp(-sq / (dim * float(dim)))
+    d2 = (dim * float(dim)) if divisor is None else divisor
+    return jnp.exp(-sq / d2)
 
 
 def compute_mmd(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -161,13 +180,7 @@ def masked_mmd_loss(
     d2 = latent_dim.astype(jnp.float32) ** 2
 
     def kmean(a, b):
-        a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)
-        b2 = jnp.sum(jnp.square(b), axis=-1, keepdims=True).T
-        sq = jnp.maximum(
-            a2 + b2 - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32),
-            0.0,
-        )
-        return jnp.mean(jnp.exp(-sq / d2))
+        return jnp.mean(gaussian_kernel(a, b, divisor=d2))
 
     mmd = (
         kmean(true_samples, true_samples)

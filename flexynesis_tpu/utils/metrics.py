@@ -48,6 +48,12 @@ def concordance_index(
         if event_observed is None
         else np.asarray(event_observed, dtype=np.float64).ravel()
     )
+    if np.isnan(t).any() or np.isnan(s).any() or np.isnan(e).any():
+        # lifelines raises on NaN inputs; silently counting NaN-score pairs
+        # as discordant would deflate the c-index and mask a broken model
+        raise ValueError(
+            "NaNs detected in inputs of concordance_index; correct or drop."
+        )
     # i is the index of the (potentially) shorter-lived subject
     ti, tj = t[:, None], t[None, :]
     si, sj = s[:, None], s[None, :]

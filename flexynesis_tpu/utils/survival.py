@@ -100,7 +100,15 @@ def logrank_test(t1, t2, e1, e2, alpha: float = 0.95) -> LogRankResult:
 
 
 def multivariate_logrank_test(durations, groups, events) -> LogRankResult:
-    """K-group log-rank test (chi-square, K-1 df)."""
+    """K-group log-rank test (chi-square, K-1 df).
+
+    Computes the exact quadratic-form statistic Z' V^-1 Z over the
+    hypergeometric variance-covariance of (O - E), like
+    lifelines.statistics.multivariate_logrank_test (the reference's import,
+    utils.py:40) — NOT the conservative sum((O-E)^2/E) textbook
+    approximation, which understates the statistic under unbalanced group
+    sizes or heavy censoring.
+    """
     t = np.asarray(durations, float)
     e = np.asarray(events, float)
     g = np.asarray(groups)
@@ -110,17 +118,32 @@ def multivariate_logrank_test(durations, groups, events) -> LogRankResult:
         return LogRankResult(0.0, 1.0)
     O = np.zeros(K)
     E = np.zeros(K)
+    V = np.zeros((K, K))
     for ti in np.unique(t[e == 1]):
         at_risk = t >= ti
         n = at_risk.sum()
         d = ((t == ti) & (e == 1)).sum()
-        for ki, lb in enumerate(labels):
-            nk = (at_risk & (g == lb)).sum()
-            dk = ((t == ti) & (e == 1) & (g == lb)).sum()
-            O[ki] += dk
-            E[ki] += d * nk / n
-    mask = E > 0
-    stat = float(np.sum((O[mask] - E[mask]) ** 2 / E[mask]))
+        nk = np.array([(at_risk & (g == lb)).sum() for lb in labels], float)
+        dk = np.array(
+            [((t == ti) & (e == 1) & (g == lb)).sum() for lb in labels], float
+        )
+        O += dk
+        E += d * nk / n
+        if n > 1:
+            frac = nk / n
+            V += (
+                d
+                * (n - d)
+                / (n - 1)
+                * (np.diag(frac) - np.outer(frac, frac))
+            )
+    z = (O - E)[:-1]
+    Vsub = V[:-1, :-1]
+    try:
+        stat = float(z @ np.linalg.solve(Vsub, z))
+    except np.linalg.LinAlgError:
+        stat = float(z @ np.linalg.pinv(Vsub) @ z)
+    stat = max(stat, 0.0)
     p = float(scipy_stats.chi2.sf(stat, df=K - 1))
     return LogRankResult(stat, p)
 
@@ -147,14 +170,26 @@ class CoxPH:
 
         risk = X @ beta
         order = jnp.argsort(-t)
+        t_s = t[order]
         risk_s = risk[order]
         e_s = e[order]
         m = jnp.max(risk_s)
-        log_cum = jnp.log(jnp.cumsum(jnp.exp(risk_s - m))) + m
+        csum = jnp.cumsum(jnp.exp(risk_s - m))
+        # Breslow ties: the denominator at an event time is the FULL risk
+        # set {j : t_j >= t_i}, including rows tied with i that happen to
+        # sort after it — take the cumsum at each tie group's last
+        # position (the naive per-row cumsum is order-dependent under ties
+        # and matches neither Breslow nor Efron; lifelines is Breslow by
+        # default, and _fit_baseline already sums full risk sets)
+        a = -t_s  # ascending view of the descending-time sort
+        grp_end = jnp.searchsorted(a, a, side="right") - 1
+        log_cum = jnp.log(csum[grp_end]) + m
         ll = jnp.sum(e_s * (risk_s - log_cum))
         return -ll + 0.5 * self.penalizer * jnp.sum(beta**2) * X.shape[0]
 
     def fit(self, df: pd.DataFrame, duration_col: str, event_col: str):
+        import warnings
+
         import jax
         import jax.numpy as jnp
 
@@ -169,24 +204,57 @@ class CoxPH:
         e = jnp.asarray(df[event_col].values, X.dtype)
 
         f = lambda b: self._neg_log_partial_likelihood(b, X, t, e)
-        grad = jax.grad(f)
-        hess = jax.hessian(f)
+        f_jit = jax.jit(f)
+        grad = jax.jit(jax.grad(f))
+        hess = jax.jit(jax.hessian(f))
 
-        @jax.jit
-        def newton_step(beta):
+        # Newton with step-halving (lifelines-style): a full step can
+        # overshoot under monotone likelihood (a perfectly separating
+        # feature) or collinearity, silently driving beta to inf/NaN —
+        # halve until the NLL improves, warn and stop if it never does
+        beta = jnp.zeros(len(feats), X.dtype)
+        nll = float(f_jit(beta))
+        converged = False
+        accepted = True
+        for _ in range(self.max_iter):
             g = grad(beta)
             H = hess(beta) + 1e-9 * jnp.eye(len(feats), dtype=X.dtype)
-            return beta - jnp.linalg.solve(H, g)
-
-        beta = jnp.zeros(len(feats), X.dtype)
-        for _ in range(self.max_iter):
-            new_beta = newton_step(beta)
-            if float(jnp.max(jnp.abs(new_beta - beta))) < self.tol:
-                beta = new_beta
+            step = jnp.linalg.solve(H, g)
+            accepted = False
+            scale = 1.0
+            # f32 NLL noise near the optimum is ~1e-6 relative — accept
+            # steps that hold the likelihood within that band
+            slack = 1e-6 * (1.0 + abs(nll))
+            for _h in range(8):
+                cand = beta - scale * step
+                nll_c = float(f_jit(cand))
+                if np.isfinite(nll_c) and nll_c <= nll + slack:
+                    accepted = True
+                    break
+                scale *= 0.5
+            if not accepted:
+                if float(jnp.max(jnp.abs(step))) < 10 * self.tol:
+                    # at the optimum: the step is negligible and the line
+                    # search only sees float noise — that's convergence
+                    converged = True
+                else:
+                    warnings.warn(
+                        "CoxPH Newton step failed to improve the likelihood "
+                        "(possible monotone likelihood or collinearity); "
+                        "stopping at the last stable iterate."
+                    )
                 break
-            beta = new_beta
+            delta = float(jnp.max(jnp.abs(cand - beta)))
+            beta, nll = cand, nll_c
+            if delta < self.tol:
+                converged = True
+                break
+        if not converged and accepted:
+            warnings.warn(
+                f"CoxPH did not converge in {self.max_iter} iterations."
+            )
 
-        H = np.asarray(jax.jit(hess)(beta))
+        H = np.asarray(hess(beta))
         cov = np.linalg.inv(H + 1e-9 * np.eye(len(feats)))
         beta_n = np.asarray(beta)
         # un-standardize coefficients
@@ -286,7 +354,13 @@ def cumulative_dynamic_auc(
 ):
     """IPCW cumulative/dynamic AUC(t) (sksurv-equivalent interface subset).
 
-    Returns (auc_per_time, mean_auc).
+    Returns (auc_per_time, mean_auc). ``mean_auc`` follows sksurv's
+    definition: the AUC(t) curve integrated against the Kaplan-Meier
+    estimate of the TEST survival function, normalized by
+    1 - S(times[-1]) — not an unweighted mean (late horizons with few
+    at-risk samples are down-weighted, exactly as in
+    sksurv.metrics.cumulative_dynamic_auc). NaN horizons (no cases or no
+    controls) are excluded with their weights renormalized.
     """
     km_cens = KaplanMeier().fit(
         np.asarray(train_durations, float),
@@ -311,7 +385,21 @@ def cumulative_dynamic_auc(
         den = w[is_case].sum() * is_ctrl.sum()
         aucs.append(num / den if den > 0 else np.nan)
     aucs = np.asarray(aucs)
-    return aucs, float(np.nanmean(aucs))
+
+    times_arr = np.atleast_1d(np.asarray(times, float))
+    if len(times_arr) == 1:
+        return aucs, float(aucs[0])
+    km_surv = KaplanMeier().fit(t, e)
+    s_times = km_surv.survival_at(times_arr)
+    d = -np.diff(np.concatenate([[1.0], s_times]))
+    finite = np.isfinite(aucs)
+    wsum = d[finite].sum()
+    mean_auc = (
+        float(np.sum(aucs[finite] * d[finite]) / wsum)
+        if wsum > 0
+        else float("nan")
+    )
+    return aucs, mean_auc
 
 
 # ---------------------------------------------------- cutoffs / stratification

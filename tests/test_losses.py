@@ -101,6 +101,40 @@ class TestCoxPH:
         g = jax.grad(lambda o: cox_ph_loss(o, dur, ev))(jnp.zeros(n))
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_grad_finite_on_degenerate_batches(self):
+        """A where() fixing only the forward value would still leak NaN
+        cotangents through log(cumsum=0); these batches must yield finite
+        (zero where appropriate) gradients, like the reference's detached
+        0.0 guard (modules.py:303-305)."""
+        n = 8
+        # 1) every row NaN duration/event (sparse survival annotation)
+        nanv = jnp.full((n,), jnp.nan)
+        g = jax.grad(lambda o: cox_ph_loss(o, nanv, nanv))(jnp.ones(n))
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+        # 2) risk spread > 88 nats: first hazard underflows to 0 in f32
+        dur = jnp.arange(n, 0, -1).astype(jnp.float32)
+        ev = jnp.ones(n)
+        out = jnp.array([-200.0, 0.0, 1.0, 2.0, -1.0, 0.5, 0.0, 3.0])
+        val, g = jax.value_and_grad(
+            lambda o: cox_ph_loss(o, dur, ev)
+        )(out)
+        assert np.isfinite(float(val))
+        assert np.all(np.isfinite(np.asarray(g)))
+        # 3) NaN model outputs (broken step): loss 0, gradients finite
+        out_nan = jnp.full((n,), jnp.nan)
+        val, g = jax.value_and_grad(
+            lambda o: cox_ph_loss(o, dur, ev)
+        )(out_nan)
+        assert float(val) == 0.0
+        assert np.all(np.isfinite(np.asarray(g)))
+        # 4) a single NaN output row must not poison the others' gradients
+        out_mixed = out.at[3].set(jnp.nan)
+        val, g = jax.value_and_grad(
+            lambda o: cox_ph_loss(o, dur, ev)
+        )(out_mixed)
+        assert np.isfinite(float(val))
+        assert np.all(np.isfinite(np.asarray(g)))
+
 
 class TestTotalLoss:
     def test_uncertainty_weighting(self):

@@ -203,3 +203,121 @@ class TestBreslowBaseline:
         m = CoxPH().fit(df, "time", "event")
         H = m.baseline_cumulative_hazard_at(np.linspace(0, 20, 50))
         assert (np.diff(H) >= -1e-12).all()
+
+
+class TestCoxBreslowTies:
+    """Round-3 review: the partial likelihood must use the FULL risk set at
+    tied event times (Breslow) and be invariant to input row order."""
+
+    def test_nll_matches_exact_breslow_formula(self):
+        import jax.numpy as jnp
+
+        from flexynesis_tpu.utils.survival import CoxPH
+
+        t = np.array([5.0, 5.0, 5.0, 8.0, 10.0])
+        e = np.array([1.0, 1.0, 1.0, 0.0, 1.0])
+        x = np.array([[1.0], [0.0], [2.0], [1.0], [0.0]])
+        beta = np.array([0.3])
+        # exact Breslow: each of the 3 events at t=5 sees the full 5-row
+        # risk set; the event at t=10 sees only itself
+        r = np.exp(x[:, 0] * beta[0])
+        denom5 = r.sum()
+        ll = (
+            (x[0, 0] + x[1, 0] + x[2, 0]) * beta[0]
+            - 3 * np.log(denom5)
+            + x[4, 0] * beta[0]
+            - np.log(r[4])
+        )
+        cox = CoxPH()
+        nll = float(
+            cox._neg_log_partial_likelihood(
+                jnp.asarray(beta), jnp.asarray(x), jnp.asarray(t), jnp.asarray(e)
+            )
+        )
+        np.testing.assert_allclose(nll, -ll, rtol=1e-5)
+
+    def test_fit_is_row_order_invariant_under_ties(self):
+        from flexynesis_tpu.utils.survival import CoxPH
+
+        rng = np.random.default_rng(0)
+        n = 60
+        x = rng.normal(size=n)
+        # integer durations -> many ties
+        t = rng.integers(1, 8, size=n).astype(float)
+        e = rng.integers(0, 2, size=n).astype(float)
+        df = pd.DataFrame({"x": x, "t": t, "e": e})
+        c1 = CoxPH().fit(df, "t", "e").params_["x"]
+        shuffled = df.sample(frac=1.0, random_state=7)
+        c2 = CoxPH().fit(shuffled, "t", "e").params_["x"]
+        np.testing.assert_allclose(c1, c2, rtol=1e-4)
+
+
+class TestLogRankCovarianceForm:
+    def test_hand_computed_two_group_case(self):
+        from flexynesis_tpu.utils.survival import multivariate_logrank_test
+
+        t = [1.0, 2.0, 3.0, 4.0]
+        g = ["a", "a", "b", "b"]
+        e = [1.0, 1.0, 1.0, 1.0]
+        # O_a=2, E_a=1/2+1/3, V_aa=0.25+2/9 (t=4 has n=1: no variance term)
+        O_E = 2 - (0.5 + 1.0 / 3.0)
+        V = 0.25 + 2.0 / 9.0
+        expected = O_E**2 / V
+        res = multivariate_logrank_test(t, g, e)
+        np.testing.assert_allclose(res.test_statistic, expected, rtol=1e-10)
+
+    def test_more_extreme_groups_give_smaller_p(self):
+        from flexynesis_tpu.utils.survival import multivariate_logrank_test
+
+        rng = np.random.default_rng(1)
+        n = 100
+        g = np.repeat(["a", "b"], n // 2)
+        t_weak = np.concatenate(
+            [rng.exponential(10, n // 2), rng.exponential(12, n // 2)]
+        )
+        t_strong = np.concatenate(
+            [rng.exponential(10, n // 2), rng.exponential(40, n // 2)]
+        )
+        e = np.ones(n)
+        p_weak = multivariate_logrank_test(t_weak, g, e).p_value
+        p_strong = multivariate_logrank_test(t_strong, g, e).p_value
+        assert p_strong < p_weak
+
+
+class TestConcordanceNaN:
+    def test_nan_scores_raise(self):
+        with pytest.raises(ValueError, match="NaN"):
+            concordance_index(
+                np.array([1.0, 2.0, 3.0]),
+                np.array([0.1, np.nan, 0.3]),
+                np.array([1.0, 1.0, 1.0]),
+            )
+
+
+class TestMeanAUCWeighting:
+    def test_single_time_passthrough(self):
+        from flexynesis_tpu.utils.survival import cumulative_dynamic_auc
+
+        rng = np.random.default_rng(3)
+        n = 80
+        t = rng.exponential(10, n)
+        e = rng.integers(0, 2, n).astype(float)
+        risk = -t + rng.normal(0, 1, n)
+        aucs, mean_auc = cumulative_dynamic_auc(t, e, t, e, risk, [5.0])
+        assert mean_auc == pytest.approx(float(aucs[0]))
+
+    def test_km_weighted_mean_downweights_late_horizons(self):
+        from flexynesis_tpu.utils.survival import cumulative_dynamic_auc
+
+        rng = np.random.default_rng(4)
+        n = 120
+        t = rng.exponential(10, n)
+        e = np.ones(n)
+        risk = -t + rng.normal(0, 0.5, n)
+        times = np.quantile(t, [0.2, 0.5, 0.8])
+        aucs, mean_auc = cumulative_dynamic_auc(t, e, t, e, risk, times)
+        # weighted mean lies within the AUC range and is finite
+        finite = aucs[np.isfinite(aucs)]
+        assert finite.min() - 1e-9 <= mean_auc <= finite.max() + 1e-9
+        # and differs from the unweighted mean unless weights are uniform
+        assert np.isfinite(mean_auc)

@@ -367,26 +367,25 @@ class TestGradientShapParity:
                              seed_key)
 
         # reproduce the engine's key schedule (attribution.py::gradient_shap)
-        # to obtain the identical per-(sample, draw) uniform path scales
+        # to obtain the identical per-(sample, draw) uniform path scale —
+        # ONE scale shared across layers, Captum's rand_coefficient scheme
         keys = jax.random.split(seed_key, n_samples)
+        n_batch = next(iter(x.values())).shape[0]
         u_draws = []
         for key in keys:
             ku, _ = jax.random.split(key)
-            u_draws.append({
-                k: np.asarray(jax.random.uniform(
-                    jax.random.fold_in(ku, i),
-                    (v.shape[0],) + (1,) * (v.ndim - 1),
-                ))
-                for i, (k, v) in enumerate(x.items())
-            })
+            u_draws.append(
+                np.asarray(jax.random.uniform(ku, (n_batch, 1)))
+            )
 
         xg = torch.tensor(ds.dat["gex"])
         xc = torch.tensor(ds.dat["cnv"])
         acc_g = torch.zeros_like(xg)
         acc_c = torch.zeros_like(xc)
         for u in u_draws:
-            ag = (torch.tensor(u["gex"]) * xg).clone().requires_grad_(True)
-            ac = (torch.tensor(u["cnv"]) * xc).clone().requires_grad_(True)
+            ut = torch.tensor(u)
+            ag = (ut * xg).clone().requires_grad_(True)
+            ac = (ut * xc).clone().requires_grad_(True)
             out = torch_forward(ag, ac)[:, target_class].sum()
             gg, gc = torch.autograd.grad(out, (ag, ac))
             acc_g += xg * gg
