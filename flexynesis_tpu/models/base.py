@@ -245,16 +245,26 @@ class BaseModel:
             out, _ = self._apply(self.params, self.batch_stats, x, None, False)
             return out
         outs = []
+        chunk_sizes = []
         for start in range(0, n, self.EVAL_CHUNK):
             chunk = {k: v[start : start + self.EVAL_CHUNK] for k, v in x.items()}
             out, _ = self._apply(self.params, self.batch_stats, chunk, None, False)
             outs.append(out)
-        return jax.tree.map(
-            lambda *parts: jnp.concatenate(parts, axis=0)
-            if hasattr(parts[0], "ndim") and parts[0].ndim > 0
-            else parts[0],
-            *outs,
-        )
+            chunk_sizes.append(next(iter(chunk.values())).shape[0])
+
+        # concatenate ONLY batch-axis leaves: per-model non-batch outputs
+        # (e.g. (1,)-shaped log_vars) are identical across chunks and must
+        # not grow with the chunk count
+        def combine(*parts):
+            if (
+                hasattr(parts[0], "ndim")
+                and parts[0].ndim > 0
+                and parts[0].shape[0] == chunk_sizes[0]
+            ):
+                return jnp.concatenate(parts, axis=0)
+            return parts[0]
+
+        return jax.tree.map(combine, *outs)
 
     def make_eval_x(self, dataset: MultiOmicDataset) -> Dict[str, jnp.ndarray]:
         """Plain {layer: matrix} inputs for predict/transform/attribution."""

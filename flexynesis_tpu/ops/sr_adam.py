@@ -106,6 +106,11 @@ def trial_update_step(params, opt_state, grads, lr, rng, *, sr, tx,
             params, opt_state, grads, lr, seed32, masks=mask
         )
     else:
+        # mask the gradients BEFORE the optax chain so the global-norm
+        # clip sees only trainable/real parameters (reference parity:
+        # requires_grad=False params contribute nothing to the norm)
+        if mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
         updates, opt_state = tx.update(grads, opt_state, params)
         if mask is None:
             updates = jax.tree.map(lambda u: -lr * u, updates)
@@ -150,8 +155,6 @@ def sr_adam_step(params, state, grads, lr, seed, *, masks=None,
     c = count.astype(jnp.float32)
     b1c = 1.0 - b1**c
     b2c = 1.0 - b2**c
-    gnorm = global_norm_f32(grads)
-    gscale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-12))
 
     leaves_p, treedef = jax.tree.flatten(params)
     leaves_m = jax.tree.leaves(m)
@@ -159,6 +162,19 @@ def sr_adam_step(params, state, grads, lr, seed, *, masks=None,
     leaves_g = jax.tree.leaves(grads)
     leaves_k = (jax.tree.leaves(masks) if masks is not None
                 else [None] * len(leaves_p))
+    # mask BEFORE the clip norm: frozen (fine-tuner) and padded (hetero)
+    # parameters must not inflate the global norm — the reference clips
+    # only requires_grad params, and a padded trial's norm must equal its
+    # small architecture's
+    if masks is not None:
+        leaves_g = [
+            (lg if lk is None else lg * lk)
+            for lg, lk in zip(leaves_g, leaves_k)
+        ]
+    gnorm = jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves_g
+    ))
+    gscale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-12))
 
     new_p, new_m, new_v = [], [], []
     for i, (lp, lm, lv, lg, lk) in enumerate(

@@ -87,6 +87,43 @@ def _col_mask(n_total: int, n_active: int) -> np.ndarray:
     return m
 
 
+def _head_mask_scale(sub, L_max: int, L_t: int, S_t: int):
+    """(mask, scale) for one supervisor-head MLP subtree — shared by every
+    per-family mask builder. Head MLPs use torch init throughout
+    (ops/mlp.py::MLP): layer_1 kernel/bias draw U(+-1/sqrt(latent)),
+    layer_out kernel AND bias draw U(+-1/sqrt(supervisor_hidden)) — so the
+    layer_out bias rescales by sqrt(S_max/S_t) exactly like its kernel."""
+    S_max = sub["layer_1"]["kernel"].shape[1]
+    n_out = sub["layer_out"]["kernel"].shape[1]
+    s_col = _col_mask(S_max, S_t)
+    l_col = _col_mask(L_max, L_t)
+    mask = {
+        "layer_1": {"kernel": np.outer(l_col, s_col), "bias": s_col.copy()},
+        "batchnorm": {"scale": s_col.copy(), "bias": s_col.copy()},
+        "layer_out": {
+            "kernel": np.broadcast_to(
+                s_col[:, None], sub["layer_out"]["kernel"].shape
+            ).copy(),
+            **(
+                {"bias": np.ones(n_out, np.float32)}
+                if "bias" in sub["layer_out"]
+                else {}
+            ),
+        },
+    }
+    sl = float(np.sqrt(L_max / L_t))
+    ss = float(np.sqrt(S_max / S_t))
+    scale = {
+        "layer_1": {"kernel": sl, "bias": sl},
+        "batchnorm": {"scale": 1.0, "bias": 1.0},
+        "layer_out": {
+            "kernel": ss,
+            **({"bias": ss} if "bias" in sub["layer_out"] else {}),
+        },
+    }
+    return mask, scale
+
+
 def directpred_trial_mask(
     template_params,
     config: dict,
@@ -104,9 +141,9 @@ def directpred_trial_mask(
         ln: template_params[f"encoder_{ln}"]["layer_1"]["kernel"].shape[1]
         for ln in layer_names
     }
-    L_max = None
-    for ln in layer_names:
-        L_max = template_params[f"encoder_{ln}"]["layer_out"]["kernel"].shape[1]
+    L_max = template_params[f"encoder_{layer_names[-1]}"]["layer_out"][
+        "kernel"
+    ].shape[1]
     L_t = dims["latent"]
     S_t = dims["sup"]
     n_mod = len(layer_names)
@@ -165,39 +202,7 @@ def directpred_trial_mask(
     for key, sub in template_params.items():
         if not key.startswith("head_"):
             continue
-        n_out = sub["layer_out"]["kernel"].shape[1]
-        s_col = _col_mask(sub["layer_1"]["kernel"].shape[1], S_t)
-        l_col = _col_mask(L_max, L_t)
-        mask[key] = {
-            "layer_1": {
-                "kernel": np.outer(l_col, s_col),
-                "bias": s_col.copy(),
-            },
-            "batchnorm": {"scale": s_col.copy(), "bias": s_col.copy()},
-            "layer_out": {
-                "kernel": np.broadcast_to(
-                    s_col[:, None], sub["layer_out"]["kernel"].shape
-                ).copy(),
-                **(
-                    {"bias": np.ones(n_out, np.float32)}
-                    if "bias" in sub["layer_out"]
-                    else {}
-                ),
-            },
-        }
-        scale[key] = {
-            "layer_1": {
-                "kernel": float(np.sqrt(L_max / L_t)),
-                "bias": float(np.sqrt(L_max / L_t)),
-            },
-            "batchnorm": {"scale": 1.0, "bias": 1.0},
-            "layer_out": {
-                "kernel": float(
-                    np.sqrt(sub["layer_1"]["kernel"].shape[1] / S_t)
-                ),
-                **({"bias": 1.0} if "bias" in sub["layer_out"] else {}),
-            },
-        }
+        mask[key], scale[key] = _head_mask_scale(sub, L_max, L_t, S_t)
 
     for key in template_params:
         if key.startswith("log_var_"):
@@ -235,9 +240,14 @@ def supervised_vae_trial_mask(
     l_col = _col_mask(L_max, L_t)
     s_l = float(np.sqrt(L_max / L_t))
 
+    # Encoder/Decoder KERNELS use xavier_uniform — bound sqrt(6/(fi+fo)) —
+    # so their rescale ratios are sqrt((fi_max+fo_max)/(fi_t+fo_t)), NOT
+    # the torch 1/sqrt(fan_in) law; BIASES use make_torch_bias_init(fan_in)
+    # and rescale by sqrt(fi_max/fi_t) (ops/mlp.py:78-141)
     mask, scale = {}, {}
     for li, ln in enumerate(layer_names):
         Hm, Ht = H_max[ln], dims["hidden"][li]
+        in_dim = int(input_dims[li])
         h_col = _col_mask(Hm, Ht)
         enc = template_params[f"encoder_{ln}"]
         mask[f"encoder_{ln}"] = {
@@ -253,14 +263,16 @@ def supervised_vae_trial_mask(
             "FC_mean": {"kernel": np.outer(h_col, l_col), "bias": l_col.copy()},
             "FC_var": {"kernel": np.outer(h_col, l_col), "bias": l_col.copy()},
         }
-        s_h = float(np.sqrt(Hm / Ht))
+        s_h = float(np.sqrt(Hm / Ht))                     # torch bias law
+        s_enc0 = float(np.sqrt((in_dim + Hm) / (in_dim + Ht)))   # xavier
+        s_fc = float(np.sqrt((Hm + L_max) / (Ht + L_t)))         # xavier
         scale[f"encoder_{ln}"] = {
             "hidden_layers": {
-                "dense_0": {"kernel": 1.0, "bias": 1.0},
+                "dense_0": {"kernel": s_enc0, "bias": 1.0},
                 "bn_0": {"scale": 1.0, "bias": 1.0},
             },
-            "FC_mean": {"kernel": s_h, "bias": s_h},
-            "FC_var": {"kernel": s_h, "bias": s_h},
+            "FC_mean": {"kernel": s_fc, "bias": s_h},
+            "FC_var": {"kernel": s_fc, "bias": s_h},
         }
 
     for key in template_params:
@@ -286,13 +298,15 @@ def supervised_vae_trial_mask(
                 "bias": np.ones(F, np.float32),
             },
         }
-        s_h_dec = float(np.sqrt(Hm_dec / Ht_dec))
+        s_h_dec = float(np.sqrt(Hm_dec / Ht_dec))          # torch bias law
+        s_dec0 = float(np.sqrt((L_max + Hm_dec) / (L_t + Ht_dec)))  # xavier
+        s_out = float(np.sqrt((Hm_dec + F) / (Ht_dec + F)))         # xavier
         scale[key] = {
             "hidden_layers": {
-                "dense_0": {"kernel": s_l, "bias": s_l},
+                "dense_0": {"kernel": s_dec0, "bias": s_l},
                 "bn_0": {"scale": 1.0, "bias": 1.0},
             },
-            "FC_output": {"kernel": s_h_dec, "bias": s_h_dec},
+            "FC_output": {"kernel": s_out, "bias": s_h_dec},
         }
 
     # top-level FC over the concatenated per-modality latents (block rows)
@@ -305,35 +319,7 @@ def supervised_vae_trial_mask(
     for key, sub in template_params.items():
         if not key.startswith("head_"):
             continue
-        n_out = sub["layer_out"]["kernel"].shape[1]
-        s_col = _col_mask(sub["layer_1"]["kernel"].shape[1], S_t)
-        mask[key] = {
-            "layer_1": {"kernel": np.outer(l_col, s_col), "bias": s_col.copy()},
-            "batchnorm": {"scale": s_col.copy(), "bias": s_col.copy()},
-            "layer_out": {
-                "kernel": np.broadcast_to(
-                    s_col[:, None], sub["layer_out"]["kernel"].shape
-                ).copy(),
-                **(
-                    {"bias": np.ones(n_out, np.float32)}
-                    if "bias" in sub["layer_out"]
-                    else {}
-                ),
-            },
-        }
-        scale[key] = {
-            "layer_1": {
-                "kernel": float(np.sqrt(L_max / L_t)),
-                "bias": float(np.sqrt(L_max / L_t)),
-            },
-            "batchnorm": {"scale": 1.0, "bias": 1.0},
-            "layer_out": {
-                "kernel": float(
-                    np.sqrt(sub["layer_1"]["kernel"].shape[1] / S_t)
-                ),
-                **({"bias": 1.0} if "bias" in sub["layer_out"] else {}),
-            },
-        }
+        mask[key], scale[key] = _head_mask_scale(sub, L_max, L_t, S_t)
 
     for key in template_params:
         if key.startswith("log_var_"):
@@ -429,35 +415,7 @@ def gnn_trial_mask(
     for key, sub in template_params.items():
         if not key.startswith("head_"):
             continue
-        n_out = sub["layer_out"]["kernel"].shape[1]
-        s_col = _col_mask(sub["layer_1"]["kernel"].shape[1], S_t)
-        mask[key] = {
-            "layer_1": {"kernel": np.outer(l_col, s_col), "bias": s_col.copy()},
-            "batchnorm": {"scale": s_col.copy(), "bias": s_col.copy()},
-            "layer_out": {
-                "kernel": np.broadcast_to(
-                    s_col[:, None], sub["layer_out"]["kernel"].shape
-                ).copy(),
-                **(
-                    {"bias": np.ones(n_out, np.float32)}
-                    if "bias" in sub["layer_out"]
-                    else {}
-                ),
-            },
-        }
-        scale[key] = {
-            "layer_1": {
-                "kernel": float(np.sqrt(L_max / L_t)),
-                "bias": float(np.sqrt(L_max / L_t)),
-            },
-            "batchnorm": {"scale": 1.0, "bias": 1.0},
-            "layer_out": {
-                "kernel": float(
-                    np.sqrt(sub["layer_1"]["kernel"].shape[1] / S_t)
-                ),
-                **({"bias": 1.0} if "bias" in sub["layer_out"] else {}),
-            },
-        }
+        mask[key], scale[key] = _head_mask_scale(sub, L_max, L_t, S_t)
 
     for key in template_params:
         if key.startswith("log_var_"):

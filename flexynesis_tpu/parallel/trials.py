@@ -18,6 +18,7 @@ This is the ≥20x HPO wall-clock lever called out in BASELINE.md.
 from __future__ import annotations
 
 import os
+import weakref
 from functools import partial
 from typing import Dict
 
@@ -43,14 +44,22 @@ def _init_stacked(model, seeds):
             k: jnp.zeros((2, d), jnp.float32)
             for k, d in zip(model.layers, model.input_dims)
         }
+        # extras (the GNN adjacency) are jit ARGUMENTS, not closure
+        # constants: a closed-over dense gene-network adjacency inlines
+        # into the HLO, which the remote-compile tunnel rejects (HTTP 413)
         extra = ()
         if hasattr(model, "_adj"):  # GNN signature: module.init(key, x, adj)
-            extra = (model._adj,)
+            extra = (jnp.asarray(model._adj),)
 
-        def init_one(seed):
-            return model.module.init(jax.random.key(seed), x, *extra, train=False)
+        def init_all(seeds, x, *extra):
+            def init_one(seed):
+                return model.module.init(
+                    jax.random.key(seed), x, *extra, train=False
+                )
 
-        variables = jax.jit(jax.vmap(init_one))(seeds)
+            return jax.vmap(init_one)(seeds)
+
+        variables = jax.jit(init_all)(seeds, x, *extra)
         return variables["params"], variables.get("batch_stats", {})
     except Exception:
         # fallback: per-seed host loop through the model's own init_params
@@ -66,57 +75,38 @@ def _init_stacked(model, seeds):
         return params, stats
 
 
-def vmapped_grid_fit(
-    model,
-    dataset,
-    *,
-    start_params,
-    start_stats,
-    lrs: np.ndarray,
-    seeds: np.ndarray,
-    train_idx: np.ndarray,   # (T, n_tr) per-trial train rows
-    val_idx: np.ndarray,     # (T, n_val) per-trial val rows
-    masks=None,              # optional per-trial 0/1 update-mask pytree
-    aux=None,                # optional per-trial pytree injected as batch['_aux']
-    batch_size: int = 32,
-    max_epochs: int = 50,
-    early_stop_patience: int = -1,
-    matmul_precision: str = "bfloat16",
-    moment_dtype: str = "bfloat16",
-    param_dtype: str = "float32",
-    mesh=None,
-):
-    """Train T trials with PER-TRIAL data splits concurrently under vmap.
+# jitted per-epoch engines keyed on (model object [weak], trace-relevant
+# config) — see _get_grid_engine
+_GRID_ENGINE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
-    The general engine behind CV-fold parallelism (HPO ``use_cv`` and the
-    fine-tuner's lr x freeze x fold grid — SURVEY.md §2.3 item 3): every
-    trial sees its own train/val row indices into the shared device-resident
-    dataset, its own lr/seed, and (optionally) its own parameter-update mask.
-    ``start_params=None`` initializes fresh per-seed parameters; otherwise
-    the given (unstacked) params/stats broadcast to all trials (fine-tuning).
-    ``mesh`` shards the T (trial) axis over the mesh's ``trial`` axis —
-    T must divide evenly; callers pass mesh=None otherwise.
-    Returns {best_val_loss (T,), best_epoch (T,), epochs_run}.
+
+def _get_grid_engine(
+    model, moment_dtype: str, param_dtype: str, batch_size: int, n_tr: int,
+    n_batches: int,
+):
+    """Build (or reuse) the jitted per-epoch engine behind vmapped_grid_fit.
+
+    Re-creating the jitted callable per call would re-trace — and through
+    the remote-compile tunnel re-COMPILE (~110s per shape, the persistent
+    cache does not apply there) — on every GP round even when quantized
+    dims produce identical shapes. The cache keys on the model OBJECT
+    (weakly held) plus every value baked into the trace; callers that
+    reuse a template model across rounds (train/hpo.py caches templates
+    per architecture bucket) then hit the same executable. Trial count and
+    array shapes are NOT part of the key — the returned jit function
+    retraces itself on genuinely new shapes as usual.
     """
-    T = len(lrs)
-    data = model.make_batch(dataset)
-    static = {k: v for k, v in data.items() if k.startswith("_")}
-    per_sample = {k: v for k, v in data.items() if not k.startswith("_")}
+    key = (moment_dtype, param_dtype, batch_size, n_tr, n_batches)
+    per_model = _GRID_ENGINE_CACHE.get(model)
+    if per_model is None:
+        per_model = {}
+        _GRID_ENGINE_CACHE[model] = per_model
+    cached = per_model.get(key)
+    if cached is not None:
+        return cached
 
     loss_fn = model.loss_fn
     tx = trial_optimizer(moment_dtype)
-    n_tr = train_idx.shape[1]
-    batch_size = min(batch_size, n_tr)
-    n_batches = max(n_tr // batch_size, 1)
-
-    if masks is None:
-        template = start_params if start_params is not None else model.params
-        if template is None:
-            template, _ = model.init_params(None, int(seeds[0]))
-        masks_tree = jax.tree.map(lambda _: jnp.ones((T,), jnp.float32), template)
-    else:
-        masks_tree = masks
-
     sr = param_dtype == "bfloat16_sr"
     cast32 = (
         (lambda p: jax.tree.map(lambda a: a.astype(jnp.float32), p))
@@ -175,9 +165,74 @@ def vmapped_grid_fit(
             in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None),
         )(params, opt_state, stats, rngs, lrs, masks, tr, va, aux, data)
 
+    per_model[key] = epoch_vmapped
+    return epoch_vmapped
+
+
+def vmapped_grid_fit(
+    model,
+    dataset,
+    *,
+    start_params,
+    start_stats,
+    lrs: np.ndarray,
+    seeds: np.ndarray,
+    train_idx: np.ndarray,   # (T, n_tr) per-trial train rows
+    val_idx: np.ndarray,     # (T, n_val) per-trial val rows
+    masks=None,              # optional per-trial 0/1 update-mask pytree
+    aux=None,                # optional per-trial pytree injected as batch['_aux']
+    batch_size: int = 32,
+    max_epochs: int = 50,
+    early_stop_patience: int = -1,
+    matmul_precision: str = "bfloat16",
+    moment_dtype: str = "bfloat16",
+    param_dtype: str = "float32",
+    mesh=None,
+):
+    """Train T trials with PER-TRIAL data splits concurrently under vmap.
+
+    The general engine behind CV-fold parallelism (HPO ``use_cv`` and the
+    fine-tuner's lr x freeze x fold grid — SURVEY.md §2.3 item 3): every
+    trial sees its own train/val row indices into the shared device-resident
+    dataset, its own lr/seed, and (optionally) its own parameter-update mask.
+    ``start_params=None`` initializes fresh per-seed parameters; otherwise
+    the given (unstacked) params/stats broadcast to all trials (fine-tuning).
+    ``mesh`` shards the T (trial) axis over the mesh's ``trial`` axis —
+    T must divide evenly; callers pass mesh=None otherwise.
+    Returns {best_val_loss (T,), best_epoch (T,), epochs_run}.
+    """
+    T = len(lrs)
+    data = model.make_batch(dataset)
+    static = {k: v for k, v in data.items() if k.startswith("_")}
+    per_sample = {k: v for k, v in data.items() if not k.startswith("_")}
+
+    tx = trial_optimizer(moment_dtype)
+    n_tr = train_idx.shape[1]
+    batch_size = min(batch_size, n_tr)
+    n_batches = max(n_tr // batch_size, 1)
+
+    if masks is None:
+        template = start_params if start_params is not None else model.params
+        if template is None:
+            template, _ = model.init_params(None, int(seeds[0]))
+        masks_tree = jax.tree.map(lambda _: jnp.ones((T,), jnp.float32), template)
+    else:
+        masks_tree = masks
+
+    sr = param_dtype == "bfloat16_sr"
+    epoch_vmapped = _get_grid_engine(
+        model, moment_dtype, param_dtype, int(batch_size), int(n_tr),
+        int(n_batches),
+    )
+
     if start_params is not None:
-        first = jax.tree_util.tree_leaves(start_params)[0]
-        already_stacked = hasattr(first, "shape") and first.shape[:1] == (T,)
+        # ALL leaves must carry the leading trial axis — judging from the
+        # first leaf alone misfires when an unstacked leaf's dim0 happens
+        # to equal T (e.g. a (45,)-bias with a 45-cell fine-tune grid)
+        already_stacked = all(
+            hasattr(a, "shape") and a.shape[:1] == (T,)
+            for a in jax.tree_util.tree_leaves(start_params)
+        )
         if already_stacked:
             # defensive copy: the epoch fn donates these buffers, which
             # would otherwise invalidate the caller's arrays

@@ -202,12 +202,25 @@ class BayesianOptimizer:
         return out
 
     def tell(self, params: dict, value: float) -> None:
+        value = float(value)
+        if not np.isfinite(value):
+            # a diverged trial (NaN/inf val loss) must not poison the GP
+            # posterior or the gp_hedge gains: clamp to a value clearly
+            # worse than anything observed so the optimizer learns to
+            # avoid the region (skopt errors out here; clamping keeps
+            # long sweeps alive)
+            finite = [v for v in self.y if np.isfinite(v)]
+            if finite:
+                lo, hi = min(finite), max(finite)
+                value = hi + max(hi - lo, abs(hi), 1.0)
+            else:
+                value = 1e6
         self.X.append(self.space.to_unit(params))
-        self.y.append(float(value))
+        self.y.append(value)
         if self._last_strategy is not None:
             # reward the strategy that produced this suggestion with the
             # (negated) observed loss — better observations grow its gain
-            self._gains[self._last_strategy] += -float(value)
+            self._gains[self._last_strategy] += -value
             self._last_strategy = None
 
     @property

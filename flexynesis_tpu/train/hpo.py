@@ -84,6 +84,13 @@ class HyperparameterTuning:
         # explicit mesh, or None -> auto-build a trial mesh per round when
         # multiple devices are visible (_trial_mesh)
         self.mesh = mesh
+        # template models and ParallelTrials engines reused across GP
+        # rounds: quantized search dims make consecutive rounds share
+        # architecture shapes, and reusing the SAME template object lets
+        # the jitted trial engines hit their caches instead of re-tracing
+        # (and, on the real TPU tunnel, re-compiling ~110s) every round
+        self._templates: dict = {}
+        self._pts: dict = {}
         # CV folds of a trial train concurrently (vmapped) by default —
         # SURVEY §2.3 item 3; set False to reproduce sequential fold fits
         self.parallel_folds = True
@@ -137,6 +144,16 @@ class HyperparameterTuning:
             args["input_layers"] = self.input_layers
             args["output_layers"] = self.output_layers
         return args
+
+    def _template_key(self, params: dict) -> tuple:
+        return tuple((k, params[k]) for k in sorted(params) if k != "lr")
+
+    def _get_template(self, params: dict):
+        """Model template for an architecture, cached across GP rounds."""
+        key = self._template_key(params)
+        if key not in self._templates:
+            self._templates[key] = self.model_class(**self._model_args(params))
+        return self._templates[key]
 
     def _trial_mesh(self, n_trials: int):
         """Trial-axis mesh for an n_trials round, or None.
@@ -214,7 +231,7 @@ class HyperparameterTuning:
 
         k = self.n_splits
         tr, va = equal_kfold_indices(n, k, seed=self.seed)
-        model = self.model_class(**self._model_args(params))
+        model = self._get_template(params)
         out = vmapped_grid_fit(
             model,
             self.dataset,
@@ -326,7 +343,7 @@ class HyperparameterTuning:
                 len(self.dataset.features[k]) for k in self.dataset.dat.keys()
             ])
         )
-        template = self.model_class(**self._model_args(template_cfg))
+        template = self._get_template(template_cfg)
         seeds = np.arange(self.seed, self.seed + len(group))
         trials = build_padded_trials(template, group, seeds)
         print(
@@ -385,7 +402,7 @@ class HyperparameterTuning:
         seeds = np.tile(np.arange(self.seed, self.seed + k), K)
 
         if self._arch_identical(group):
-            template = self.model_class(**self._model_args(group[0]))
+            template = self._get_template(group[0])
             trials: dict = {}
         else:
             from ..parallel.hetero import build_padded_trials, max_config
@@ -397,7 +414,7 @@ class HyperparameterTuning:
                     for key in self.dataset.dat.keys()
                 ])
             )
-            template = self.model_class(**self._model_args(template_cfg))
+            template = self._get_template(template_cfg)
             # each suggestion's padded params/masks repeat across its folds
             expanded = [p for p in group for _ in range(k)]
             trials = build_padded_trials(template, expanded, seeds)
@@ -433,9 +450,16 @@ class HyperparameterTuning:
 
         n = self.n_units
         train_idx, val_idx = train_val_split(n, self.val_size, seed=self.seed)
-        template = self.model_class(**self._model_args(group[0]))
-        pt = ParallelTrials(template, self.dataset,
-                            mesh=self._trial_mesh(len(group)))
+        template = self._get_template(group[0])
+        mesh = self._trial_mesh(len(group))
+        pkey = (
+            self._template_key(group[0]),
+            0 if mesh is None else int(np.prod(mesh.devices.shape)),
+        )
+        pt = self._pts.get(pkey)
+        if pt is None:
+            pt = ParallelTrials(template, self.dataset, mesh=mesh)
+            self._pts[pkey] = pt
         lrs = np.asarray([p["lr"] for p in group], np.float32)
         seeds = np.full(len(group), self.seed, np.int64)
         print(

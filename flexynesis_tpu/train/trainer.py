@@ -69,9 +69,16 @@ def make_optimizer(
     Used by the fine-tuner's freeze configurations (reference main.py:530-539).
     """
     adam = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-    if trainable_mask is not None:
-        adam = optax.masked(adam, trainable_mask)
-    return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
+    if trainable_mask is None:
+        return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
+    # the whole chain sits inside optax.masked so the global-norm clip sees
+    # only TRAINABLE gradients — the reference (Lightning) clips parameters
+    # with requires_grad only, so frozen encoders must not inflate the norm
+    # and shrink the effective update on the trainable heads
+    return optax.masked(
+        optax.chain(optax.clip_by_global_norm(grad_clip), adam),
+        trainable_mask,
+    )
 
 
 class Trainer:
@@ -237,11 +244,17 @@ class Trainer:
                 batch_stats = restored["batch_stats"]
                 rng = restored["rng"]
                 start_epoch = restored["meta"]["epoch"]
-                best_val = restored["meta"]["best_val"]
+                hist_best = float(restored["meta"]["best_val"])
+                # best-so-far PARAMS are not checkpointed (only the live
+                # train state is), so the historical best_val may belong to
+                # params we no longer have. Restart best tracking from the
+                # restore point: the returned params then always ACHIEVE
+                # the reported val_loss.
+                best_val = float("inf")
                 best = jax.tree.map(jnp.copy, (params, batch_stats))
                 print(
                     f"[INFO] Resumed training from epoch {start_epoch} "
-                    f"(best val {best_val:.4f})"
+                    f"(pre-preemption best val {hist_best:.4f})"
                 )
 
         t0 = time.perf_counter()
@@ -292,6 +305,11 @@ class Trainer:
         if val_data is None:
             best = (params, batch_stats)
             best_val = float(history["train_loss"][-1]) if history["train_loss"] else 0.0
+        elif not np.isfinite(best_val):
+            # resumed at (or past) max_epochs: no epoch ran after restore,
+            # so score the restored params directly
+            best_val = float(self._val_step(params, batch_stats, val_data)[0])
+            best = (params, batch_stats)
 
         return TrainResult(
             params=best[0],

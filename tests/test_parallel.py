@@ -205,3 +205,37 @@ class TestAutoTrialMesh:
         unsharded = tuner_nomesh._run_parallel_group_cv(group)
         for (a, _, _), (b, _, _) in zip(sharded, unsharded):
             np.testing.assert_allclose(a, b, rtol=2e-3)
+
+
+class TestGridEngineCache:
+    """Round-3: jitted grid engines are reused across rounds (a re-trace
+    costs ~110s of remote compile per round on the real tunnel)."""
+
+    def test_engine_identity_per_model_and_config(self, train_ds):
+        from flexynesis_tpu.parallel import trials as trials_mod
+
+        model = DirectPred(CFG, train_ds, target_variables=["subtype"])
+        e1 = trials_mod._get_grid_engine(model, "bfloat16", "float32", 32, 80, 2)
+        e2 = trials_mod._get_grid_engine(model, "bfloat16", "float32", 32, 80, 2)
+        assert e1 is e2
+        # different trace-relevant config -> different engine
+        e3 = trials_mod._get_grid_engine(model, "bfloat16", "bfloat16_sr", 32, 80, 2)
+        assert e3 is not e1
+        # different model object -> different engine (weak key)
+        other = DirectPred(CFG, train_ds, target_variables=["subtype"])
+        e4 = trials_mod._get_grid_engine(other, "bfloat16", "float32", 32, 80, 2)
+        assert e4 is not e1
+
+    def test_hpo_templates_cached_across_rounds(self, train_ds):
+        from flexynesis_tpu.train.hpo import HyperparameterTuning
+
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=1,
+        )
+        a = {"latent_dim": 16, "lr": 1e-3, "hidden_dim_factor": 0.3,
+             "supervisor_hidden_dim": 8, "epochs": 5, "batch_size": 32}
+        assert tuner._get_template(a) is tuner._get_template(dict(a, lr=5e-3))
+        assert tuner._get_template(a) is not tuner._get_template(
+            dict(a, latent_dim=32)
+        )
