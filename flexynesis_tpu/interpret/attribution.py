@@ -112,12 +112,28 @@ def gradient_shap(
     return jax.tree.map(lambda a: jnp.mean(a, axis=0), attrs)
 
 
-@partial(jax.jit, static_argnames=("forward", "n_steps", "n_class", "method"))
+@partial(
+    jax.jit,
+    static_argnames=("attr_forward", "target_var", "n_steps", "n_class",
+                     "method"),
+)
 def _all_class_abs_attr(
-    forward, x, n_steps: int, n_class: int, method: str, rng
+    attr_forward, params, batch_stats, x, target_var: str, n_steps: int,
+    n_class: int, method: str, rng
 ):
-    """(n_class, ) tree of sum_over_batch |attr| per layer, one compiled program."""
+    """(n_class, ) tree of sum_over_batch |attr| per layer, one compiled program.
+
+    ``params``/``batch_stats`` are jit ARGUMENTS, not closure constants of
+    a per-call ``forward`` lambda: closed-over parameters inline into the
+    HLO (the remote-compile tunnel rejects large ones with HTTP 413), and
+    a fresh closure per call would defeat the jit cache — with the bound
+    method + target_var as static keys, repeated attribution calls on the
+    same model reuse the compiled program.
+    """
     single = n_class == 1
+
+    def forward(xs):
+        return attr_forward(params, batch_stats, xs, target_var)
 
     def per_class(c):
         if method == "IntegratedGradients":
@@ -172,9 +188,6 @@ def abs_attribution_sums(
         params = jax.device_put(params, replicated)
         batch_stats = jax.device_put(batch_stats, replicated)
 
-    def forward(x):
-        return model._attribution_forward(params, batch_stats, x, target_var)
-
     if dataset.variable_types[target_var] == "numerical":
         n_class = 1
     else:
@@ -198,7 +211,8 @@ def abs_attribution_sums(
             x = jax.device_put(x, data_sharding)
         rng, sub = jax.random.split(rng)
         per_class = _all_class_abs_attr(
-            forward, x, int(steps_or_samples), int(n_class), method, sub
+            model._attribution_forward, params, batch_stats, x, target_var,
+            int(steps_or_samples), int(n_class), method, sub,
         )
         if sums is None:
             sums = per_class

@@ -239,16 +239,41 @@ class BaseModel:
     # cohorts above this size run eval forward in chunks to bound HBM use
     EVAL_CHUNK = 8192
 
+    def _eval_extra_args(self) -> tuple:
+        """Extra positional module.apply args for eval (GNN: the adjacency)."""
+        return ()
+
+    def _jitted_eval(self):
+        """Cached jitted eval forward: params/stats/x are jit ARGUMENTS.
+
+        An unjitted module.apply dispatches op-by-op — on the TPU tunnel
+        that is one RPC per op — and a per-call jitted closure over params
+        would both re-trace every call and inline the parameters into the
+        HLO (HTTP 413 at production sizes)."""
+        if getattr(self, "_eval_jit", None) is None:
+            module = self.module
+
+            @jax.jit
+            def run(params, batch_stats, x, *extra):
+                return module.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, *extra, train=False,
+                )
+
+            self._eval_jit = run
+        return self._eval_jit
+
     def _forward_eval(self, x: Dict[str, jnp.ndarray]):
+        run = self._jitted_eval()
+        extra = self._eval_extra_args()
         n = next(iter(x.values())).shape[0]
         if n <= self.EVAL_CHUNK:
-            out, _ = self._apply(self.params, self.batch_stats, x, None, False)
-            return out
+            return run(self.params, self.batch_stats, x, *extra)
         outs = []
         chunk_sizes = []
         for start in range(0, n, self.EVAL_CHUNK):
             chunk = {k: v[start : start + self.EVAL_CHUNK] for k, v in x.items()}
-            out, _ = self._apply(self.params, self.batch_stats, chunk, None, False)
+            out = run(self.params, self.batch_stats, chunk, *extra)
             outs.append(out)
             chunk_sizes.append(next(iter(chunk.values())).shape[0])
 

@@ -142,6 +142,9 @@ class GNN(BaseModel):
         out = self.module.apply(variables, x, self._adj, train=False)
         return out, batch_stats
 
+    def _eval_extra_args(self) -> tuple:
+        return (self._adj,)
+
     def _attribution_forward(self, params, batch_stats, x, target_var):
         variables = {"params": params, "batch_stats": batch_stats}
         out = self.module.apply(variables, x, self._adj, train=False)
