@@ -860,12 +860,6 @@ def main():
             worker_rc = os.waitstatus_to_exitcode(status)
             break
         time.sleep(0.5)
-    if not worker_done:
-        try:
-            os.kill(pid, signal.SIGKILL)
-        except ProcessLookupError:
-            pass
-        os.waitpid(pid, 0)
     try:
         with open(_SNAPSHOT_PATH) as fh:
             result = json.load(fh)
@@ -880,7 +874,17 @@ def main():
             "value": 0.0, "unit": "trials/hour", "vs_baseline": 0.0,
             "extra": {"error": "worker produced no snapshot"},
         }
+    # EMIT BEFORE any cleanup: a worker stuck in an uninterruptible tunnel
+    # syscall (D state — observed with a hung chip grant) survives SIGKILL
+    # until the syscall returns, so a blocking waitpid here would hold the
+    # JSON line past the driver's timeout
     print(json.dumps(result), flush=True)
+    if not worker_done:
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        os._exit(0)  # the orphaned worker reparents to init
 
 
 def _main_body(budget_s: float):
