@@ -112,39 +112,49 @@ def gradient_shap(
     return jax.tree.map(lambda a: jnp.mean(a, axis=0), attrs)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("attr_forward", "target_var", "n_steps", "n_class",
-                     "method"),
-)
-def _all_class_abs_attr(
-    attr_forward, params, batch_stats, x, target_var: str, n_steps: int,
-    n_class: int, method: str, rng
-):
-    """(n_class, ) tree of sum_over_batch |attr| per layer, one compiled program.
+def _all_class_abs_attr_program(model):
+    """Per-model cached jit of the all-class |attr| program.
 
-    ``params``/``batch_stats`` are jit ARGUMENTS, not closure constants of
-    a per-call ``forward`` lambda: closed-over parameters inline into the
-    HLO (the remote-compile tunnel rejects large ones with HTTP 413), and
-    a fresh closure per call would defeat the jit cache — with the bound
-    method + target_var as static keys, repeated attribution calls on the
-    same model reuse the compiled program.
+    ``params``/``batch_stats``/``x``/``extra`` are jit ARGUMENTS, not
+    closure constants: closed-over arrays inline into the HLO (the
+    remote-compile tunnel rejects large ones with HTTP 413) — ``extra``
+    carries ``model._eval_extra_args()`` operands (GNN adjacency) for the
+    same reason. The program is cached ON the model instance rather than
+    in a module-level jit keyed by the bound method: a global cache with
+    the method as a static arg would strongly retain every model ever
+    attributed (params, module, extras) for the process lifetime.
     """
-    single = n_class == 1
+    fn = getattr(model, "_attr_jit_fn", None)
+    if fn is not None:
+        return fn
 
-    def forward(xs):
-        return attr_forward(params, batch_stats, xs, target_var)
+    @partial(
+        jax.jit,
+        static_argnames=("target_var", "n_steps", "n_class", "method"),
+    )
+    def fn(params, batch_stats, x, extra, target_var: str, n_steps: int,
+           n_class: int, method: str, rng):
+        single = n_class == 1
 
-    def per_class(c):
-        if method == "IntegratedGradients":
-            attr = integrated_gradients(forward, x, c, n_steps, single)
-        else:
-            attr = gradient_shap(forward, x, c, n_steps, single, rng)
-        return jax.tree.map(lambda a: jnp.sum(jnp.abs(a), axis=0), attr)
+        def forward(xs):
+            return model._attribution_forward(
+                params, batch_stats, xs, target_var, *extra
+            )
 
-    # class axis is tiny and head weights differ per class -> unrolled python
-    # loop at trace time (still one jit program; XLA parallelizes freely)
-    return [per_class(c) for c in range(n_class)]
+        def per_class(c):
+            if method == "IntegratedGradients":
+                attr = integrated_gradients(forward, x, c, n_steps, single)
+            else:
+                attr = gradient_shap(forward, x, c, n_steps, single, rng)
+            return jax.tree.map(lambda a: jnp.sum(jnp.abs(a), axis=0), attr)
+
+        # class axis is tiny and head weights differ per class -> unrolled
+        # python loop at trace time (still one jit program; XLA
+        # parallelizes freely)
+        return [per_class(c) for c in range(n_class)]
+
+    model._attr_jit_fn = fn
+    return fn
 
 
 def abs_attribution_sums(
@@ -173,6 +183,7 @@ def abs_attribution_sums(
             f"Unsupported method '{method}'. Choose 'IntegratedGradients' or 'GradientShap'."
         )
     params, batch_stats = model.params, model.batch_stats
+    extra = tuple(model._eval_extra_args())
     layers: List[str] = model.layers
 
     data_sharding = None
@@ -187,6 +198,7 @@ def abs_attribution_sums(
         replicated = NamedSharding(mesh, P())
         params = jax.device_put(params, replicated)
         batch_stats = jax.device_put(batch_stats, replicated)
+        extra = jax.device_put(extra, replicated)
 
     if dataset.variable_types[target_var] == "numerical":
         n_class = 1
@@ -210,8 +222,8 @@ def abs_attribution_sums(
         if data_sharding is not None:
             x = jax.device_put(x, data_sharding)
         rng, sub = jax.random.split(rng)
-        per_class = _all_class_abs_attr(
-            model._attribution_forward, params, batch_stats, x, target_var,
+        per_class = _all_class_abs_attr_program(model)(
+            params, batch_stats, x, extra, target_var,
             int(steps_or_samples), int(n_class), method, sub,
         )
         if sums is None:

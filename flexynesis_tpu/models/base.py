@@ -123,7 +123,12 @@ class BaseModel:
         raise NotImplementedError
 
     def _apply(self, params, batch_stats, x: Dict[str, jnp.ndarray], rng, train):
-        """Run the flax module; returns (out_dict, new_batch_stats)."""
+        """Run the flax module; returns (out_dict, new_batch_stats).
+
+        This is the TRAINING-path hook (loss_fn). Inference
+        (predict/transform/attribution) routes through ``_eval_apply`` +
+        ``_eval_extra_args`` instead — override those too if eval behavior
+        must change."""
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = None
         if train:
@@ -240,8 +245,25 @@ class BaseModel:
     EVAL_CHUNK = 8192
 
     def _eval_extra_args(self) -> tuple:
-        """Extra positional module.apply args for eval (GNN: the adjacency)."""
+        """Extra positional eval args (GNN: the adjacency).
+
+        These are passed as jit ARGUMENTS through every inference program
+        (eval forward AND attribution) — large arrays must arrive this way,
+        never as closure constants (they inline into the HLO and the
+        remote-compile tunnel rejects them with HTTP 413)."""
         return ()
+
+    def _eval_apply(self, params, batch_stats, x, *extra):
+        """Eval-mode module forward — the single inference hook.
+
+        predict/transform/attribution all route through this (jitted, with
+        params/stats/x/extra as arguments). Subclasses customizing eval
+        behavior override THIS (plus ``_eval_extra_args`` for any array
+        operands), not ``_apply``."""
+        return self.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, *extra, train=False,
+        )
 
     def _jitted_eval(self):
         """Cached jitted eval forward: params/stats/x are jit ARGUMENTS.
@@ -251,14 +273,10 @@ class BaseModel:
         would both re-trace every call and inline the parameters into the
         HLO (HTTP 413 at production sizes)."""
         if getattr(self, "_eval_jit", None) is None:
-            module = self.module
 
             @jax.jit
             def run(params, batch_stats, x, *extra):
-                return module.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    x, *extra, train=False,
-                )
+                return self._eval_apply(params, batch_stats, x, *extra)
 
             self._eval_jit = run
         return self._eval_jit
@@ -270,12 +288,19 @@ class BaseModel:
         if n <= self.EVAL_CHUNK:
             return run(self.params, self.batch_stats, x, *extra)
         outs = []
-        chunk_sizes = []
         for start in range(0, n, self.EVAL_CHUNK):
             chunk = {k: v[start : start + self.EVAL_CHUNK] for k, v in x.items()}
-            out = run(self.params, self.batch_stats, chunk, *extra)
-            outs.append(out)
-            chunk_sizes.append(next(iter(chunk.values())).shape[0])
+            m = next(iter(chunk.values())).shape[0]
+            if m < self.EVAL_CHUNK:
+                # zero-pad the ragged tail so ONE compiled program serves
+                # every chunk (a distinct tail shape costs 30-120s compile
+                # through the tunnel); padded rows are trimmed after concat
+                pad = self.EVAL_CHUNK - m
+                chunk = {
+                    k: jnp.pad(v, ((0, pad),) + ((0, 0),) * (v.ndim - 1))
+                    for k, v in chunk.items()
+                }
+            outs.append(run(self.params, self.batch_stats, chunk, *extra))
 
         # concatenate ONLY batch-axis leaves: per-model non-batch outputs
         # (e.g. (1,)-shaped log_vars) are identical across chunks and must
@@ -284,9 +309,9 @@ class BaseModel:
             if (
                 hasattr(parts[0], "ndim")
                 and parts[0].ndim > 0
-                and parts[0].shape[0] == chunk_sizes[0]
+                and parts[0].shape[0] == self.EVAL_CHUNK
             ):
-                return jnp.concatenate(parts, axis=0)
+                return jnp.concatenate(parts, axis=0)[:n]
             return parts[0]
 
         return jax.tree.map(combine, *outs)
@@ -321,10 +346,13 @@ class BaseModel:
 
     # ------------------------------------------------------ feature importance
 
-    def _attribution_forward(self, params, batch_stats, x, target_var):
-        """Pure forward for attribution: x -> outputs[target_var] (B, n_out)."""
-        variables = {"params": params, "batch_stats": batch_stats}
-        out = self.module.apply(variables, x, train=False)
+    def _attribution_forward(self, params, batch_stats, x, target_var, *extra):
+        """Pure forward for attribution: x -> outputs[target_var] (B, n_out).
+
+        Routes through ``_eval_apply`` so the eval/attribution contracts
+        cannot drift; ``extra`` carries ``_eval_extra_args()`` operands as
+        jit arguments (GNN adjacency — see _eval_extra_args)."""
+        out = self._eval_apply(params, batch_stats, x, *extra)
         return out["outputs"][target_var]
 
     def compute_feature_importance(

@@ -143,12 +143,10 @@ class GNN(BaseModel):
         return out, batch_stats
 
     def _eval_extra_args(self) -> tuple:
+        # the dense operator rides into eval/attribution programs as a jit
+        # ARGUMENT — closing over it would inline a (n_nodes, n_nodes)
+        # constant into the HLO (HTTP 413 through the tunnel at scale)
         return (self._adj,)
-
-    def _attribution_forward(self, params, batch_stats, x, target_var):
-        variables = {"params": params, "batch_stats": batch_stats}
-        out = self.module.apply(variables, x, self._adj, train=False)
-        return out["outputs"][target_var]
 
     def compute_feature_importance(
         self,

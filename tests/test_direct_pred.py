@@ -137,6 +137,19 @@ class TestChunkedEval:
         chunked = model.predict(test_ds)["subtype"]
         np.testing.assert_allclose(full, chunked, rtol=1e-5, atol=1e-6)
 
+    def test_ragged_tail_reuses_one_program(self, datasets):
+        """The ragged tail chunk is zero-padded to EVAL_CHUNK so every chunk
+        runs the SAME compiled program (a distinct tail shape costs 30-120s
+        per cohort size through the remote-compile tunnel)."""
+        train_ds, test_ds = datasets
+        model = DirectPred(CONFIG, train_ds, target_variables=["subtype"])
+        model.init_params(train_ds)
+        n = len(test_ds)
+        model.EVAL_CHUNK = 16 if n % 16 else 17  # guarantee a ragged tail
+        preds = model.predict(test_ds)["subtype"]
+        assert preds.shape[0] == n
+        assert model._eval_jit._cache_size() == 1
+
 
 class TestVariantConfigs:
     def test_batch_variables_add_heads(self, datasets):
