@@ -182,6 +182,9 @@ def bench_tpu(gex, cnv, cls, epochs=EPOCHS, k=16):
     tr = np.arange(int(N_SAMPLES * 0.8))
     va = np.arange(int(N_SAMPLES * 0.8), N_SAMPLES)
     pt = ParallelTrials(model, ds)
+    # the measured-e2e section reuses this engine (same compiled chunk
+    # shape) so it pays zero extra tunnel compiles
+    _HEADLINE_CACHE[k] = (pt, tr, va)
     lrs = np.full(k, 1e-3)
     seeds = np.arange(k)
 
@@ -740,19 +743,107 @@ def _write_snapshot(result) -> None:
 # worst-case section costs (seconds, compile through the remote-compile
 # tunnel included — the persistent cache does not apply there, so every
 # process pays them) used to decide whether a section still fits in the
-# budget; measured 2026-08-17: inference 1.5-1.9, ig 32-33, large 41.6,
-# vae 55-58, gnn 35.1, finetuner 63.5 — estimates leave headroom for the
-# tunnel's 2-4x contention swings
+# budget; measured over three full runs 2026-08-17: inference 25-36,
+# ig 6-7, large 39-47, vae 62-71, gnn 36-37, finetuner 67, gp 0.2-0.3,
+# e2e ~36 (no compile: reuses the headline engine), ingestion 4-5 —
+# estimates sit modestly above the observed max so a slow-tunnel run
+# skips as little as possible while never tripping the 600s hard kill
 _SECTION_EST_S = {
-    "inference": 15,
-    "ig": 45,
-    "large": 90,
+    "inference": 40,
+    "ig": 12,
+    "large": 55,
     "vae": 75,
-    "gnn": 70,
-    "finetuner": 90,
-    "gp": 20,
-    "ingestion": 30,
+    "gnn": 45,
+    "finetuner": 75,
+    "gp": 5,
+    "e2e": 42,
+    "ingestion": 8,
 }
+
+
+_HEADLINE_CACHE = {}
+
+
+def bench_e2e_pipelined(n_rounds=2):
+    """MEASURED end-to-end HPO including the Bayesian optimizer.
+
+    Runs real GP-driven rounds on the headline engine with the pipelined
+    ask (train/gp.py AskSession drained through ParallelTrials.run's
+    host_work hook): round N+1's suggestions are computed on the host while
+    round N trains on device, so GP time hides under device time. The
+    previously-reported `e2e_trials_per_hour_incl_gp` is the computed
+    SEQUENTIAL sum (engine_ms + gp_ms); this section measures the actual
+    pipelined loop, plus one sequential (unpipelined) round for an honest
+    same-engine comparison. Reuses the already-compiled headline engine
+    (lr-only space at the headline architecture) — no fresh compiles.
+    """
+    from flexynesis_tpu.train.gp import BayesianOptimizer
+    from flexynesis_tpu.train.space import Real, SearchSpace
+
+    if not _HEADLINE_CACHE:
+        return {"error": "headline engine not available for reuse"}
+    k = max(_HEADLINE_CACHE)
+    pt, tr, va = _HEADLINE_CACHE[k]
+    space = SearchSpace([Real(1e-4, 1e-2, name="lr", prior="log-uniform")])
+    opt = BayesianOptimizer(space, n_initial_points=10, seed=0)
+
+    def run_round(sugg, host_work):
+        lrs = np.asarray([p["lr"] for p in sugg], np.float32)
+        out = pt.run(
+            lrs=lrs, seeds=np.arange(len(sugg)), train_idx=tr, val_idx=va,
+            batch_size=BATCH, max_epochs=EPOCHS, epochs_per_eval=EPOCHS,
+            host_work=host_work,
+        )
+        return np.asarray(out["best_val_loss"])
+
+    def tell_all(sugg, losses):
+        for p, v in zip(sugg, losses):
+            opt.tell(p, float(v))
+
+    # warm round: primes the engine's chunk-wall estimate that budgets
+    # host_work, and seeds the GP history (not timed, like the compile
+    # warm-up in bench_tpu)
+    sugg = opt.ask(k)
+    nxt = opt.ask_session(k, pending=sugg)
+    tell_all(sugg, run_round(sugg, nxt.work))
+    sugg = nxt.finish()
+
+    # timed steady-state pipelined rounds
+    hidden = []
+    t0 = time.perf_counter()
+    trials = 0
+    for r in range(n_rounds):
+        nxt = (
+            opt.ask_session(k, pending=sugg) if r < n_rounds - 1 else None
+        )
+        losses = run_round(sugg, nxt.work if nxt is not None else None)
+        tell_all(sugg, losses)
+        trials += len(sugg)
+        if nxt is not None:
+            hidden.append(len(nxt.out) / k)  # fraction drained in the gap
+            sugg = nxt.finish()
+    wall_pipe = time.perf_counter() - t0
+    tph_pipe = trials * 3600.0 / wall_pipe
+
+    # one sequential round on the same engine: ask AFTER the previous
+    # round, nothing overlapped — the apples-to-apples non-pipelined rate
+    t0 = time.perf_counter()
+    sugg = opt.ask(k)
+    losses = run_round(sugg, None)
+    tell_all(sugg, losses)
+    wall_seq = time.perf_counter() - t0
+    tph_seq = k * 3600.0 / wall_seq
+
+    return {
+        "trials_per_hour_pipelined": round(tph_pipe, 1),
+        "trials_per_hour_sequential_ask": round(tph_seq, 1),
+        "pipeline_speedup": round(tph_pipe / tph_seq, 3),
+        "ask_fraction_hidden_under_device": round(float(np.mean(hidden)), 3)
+        if hidden else None,
+        "rounds": n_rounds,
+        "trials_per_round": k,
+        "gp_history_at_end": len(opt.y),
+    }
 
 
 def bench_gp_overhead(histories=(100, 300), q=64):
@@ -783,9 +874,11 @@ def bench_gp_overhead(histories=(100, 300), q=64):
     return out
 
 
-def bench_ingestion(n_rows=20000, n_cols=2000):
-    """Native fastcsv vs pandas on a 20k x 2k float matrix (the startup
-    ingestion hot path the C++ parser replaces — reference data.py:286)."""
+def bench_ingestion(n_rows=5000, n_cols=1000):
+    """Native fastcsv vs pandas on a float matrix (the startup ingestion
+    hot path the C++ parser replaces — reference data.py:286). Sized so
+    writing the fixture CSV doesn't dominate the section (the ratio is
+    scale-invariant: 1.16-1.20x measured at 20k x 2k standalone)."""
     import tempfile
 
     import pandas as pd
@@ -991,6 +1084,9 @@ def _main_body(budget_s: float):
     run_section("batch_inference", "inference",
                 lambda: bench_inference(gex, cnv, cls))
     run_section("ig_attribution", "ig", lambda: bench_ig(gex, cnv, cls))
+    # e2e runs early: it is the round-3 novel evidence (pipelined GP ask)
+    # and costs no compile — it reuses the headline engine's chunk
+    run_section("e2e_pipelined", "e2e", bench_e2e_pipelined)
     run_section("large_single_model", "large", bench_large_model)
     run_section("supervised_vae", "vae", bench_vae)
     run_section("gnn", "gnn", bench_gnn)
@@ -999,7 +1095,8 @@ def _main_body(budget_s: float):
     run_section("gp_overhead", "gp", bench_gp_overhead)
     run_section("csv_ingestion", "ingestion", bench_ingestion)
 
-    # end-to-end throughput: engine rate combined with the host GP cost
+    # computed sequential e2e (engine rate + host GP cost serialized) —
+    # kept as the comparison point for the MEASURED pipelined loop above
     gp = extras.get("gp_overhead", {})
     gp_ms = gp.get("ms_per_suggestion_hist100")
     if gp_ms is not None and best_tph:

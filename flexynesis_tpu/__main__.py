@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="HPO suggestions evaluated per GP round (TPU trial "
                         "fan-out). Default 0 = auto: min(16, hpo_iter) on an "
                         "accelerator, 1 (sequential, reference-like) on CPU")
+    p.add_argument("--hpo_pipeline", type=str, default="True",
+                   choices=["True", "False"],
+                   help="Pipeline the GP ask: compute round N+1's "
+                        "suggestions on the host while round N trains on "
+                        "device (batched rounds only)")
     p.add_argument("--finetuning_samples", type=int, default=0,
                    help="Test samples used for fine-tuning (0 disables)")
     p.add_argument("--variance_threshold", type=float, default=1,
@@ -539,6 +544,7 @@ def run_training(args) -> int:
         output_layers=_split(args.output_layers),
         checkpoint_path=args.hpo_checkpoint,
         batch_ask=_resolve_hpo_batch(args),
+        pipeline_ask=args.hpo_pipeline == "True",
     )
     with tuner_timer_cm, trace(trace_dir):
         model, best_params = tuner.perform_tuning(hpo_patience=args.hpo_patience)

@@ -18,9 +18,10 @@ This is the ≥20x HPO wall-clock lever called out in BASELINE.md.
 from __future__ import annotations
 
 import os
+import time
 import weakref
 from functools import partial
-from typing import Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -188,6 +189,7 @@ def vmapped_grid_fit(
     moment_dtype: str = "bfloat16",
     param_dtype: str = "float32",
     mesh=None,
+    host_work: Optional[Callable[[float], object]] = None,
 ):
     """Train T trials with PER-TRIAL data splits concurrently under vmap.
 
@@ -199,6 +201,9 @@ def vmapped_grid_fit(
     the given (unstacked) params/stats broadcast to all trials (fine-tuning).
     ``mesh`` shards the T (trial) axis over the mesh's ``trial`` axis —
     T must divide evenly; callers pass mesh=None otherwise.
+    ``host_work(budget_s)`` (optional) is called in the gap between each
+    epoch's async dispatch and its blocking fetch — pipelined HPO slices
+    the next round's GP ask into these gaps (train/gp.py AskSession).
     Returns {best_val_loss (T,), best_epoch (T,), epochs_run}.
     """
     T = len(lrs)
@@ -282,14 +287,28 @@ def vmapped_grid_fit(
         "per_sample": jax.tree.map(jnp.asarray, per_sample),
         "static": jax.tree.map(jnp.asarray, static),
     }
+    epoch_wall_est = None
     for epoch in range(max_epochs):
+        t_ep = time.perf_counter()
         with jax.default_matmul_precision(matmul_precision):
             params, opt_state, stats, rngs, vloss = epoch_vmapped(
                 params, opt_state, stats, rngs, lrs_dev, masks_tree, tr, va,
                 aux_dev, data_arg,
             )
+        if host_work is not None:
+            # the dispatch above is async; the device crunches this epoch
+            # while the host runs a budget-bounded slice of GP-ask work
+            # (budget = ~90% of the previous epoch's wall, so the fetch
+            # below rarely has to wait on the host)
+            spent = time.perf_counter() - t_ep
+            budget = (
+                max(0.0, 0.9 * epoch_wall_est - spent)
+                if epoch_wall_est is not None else 0.05
+            )
+            host_work(budget)
         epochs_run = epoch + 1
         v = np.asarray(vloss)
+        epoch_wall_est = time.perf_counter() - t_ep
         improved = v < best
         best = np.where(improved, v, best)
         best_epoch = np.where(improved, epochs_run, best_epoch)
@@ -427,6 +446,7 @@ class ParallelTrials:
         early_stop_patience: int = -1,
         epochs_per_eval: int = 5,
         checkpoint_dir: str = None,
+        host_work: Optional[Callable[[float], object]] = None,
     ) -> Dict[str, np.ndarray]:
         """Train len(lrs) trials; returns per-trial best val losses + epochs.
 
@@ -435,6 +455,13 @@ class ParallelTrials:
         split. ``epochs_per_eval`` epochs run fully on device per host sync;
         early stopping is checked at every epoch boundary from the returned
         per-epoch val losses.
+
+        ``host_work(budget_s)`` (optional) runs in the gap between each
+        chunk's async dispatch and its blocking fetch; pipelined HPO
+        (train/hpo.py) slices the NEXT round's GP ask into these gaps so
+        Bayesian-optimizer host time hides under device time. The budget is
+        ~90% of the previous same-shape chunk's wall time (remembered
+        across run() calls — consecutive HPO rounds repeat the shape).
 
         ``checkpoint_dir`` extends the preemption story (SURVEY §5.3/5.4) to
         the trial fan-out: the whole stacked round state saves through orbax
@@ -596,8 +623,11 @@ class ParallelTrials:
             manager.save(epochs_run, args=ocp.args.StandardSave(host))
             manager.wait_until_finished()
 
+        if not hasattr(self, "_chunk_wall_est"):
+            self._chunk_wall_est = {}
         while epochs_run < max_epochs:
             n_epochs = min(chunk, max_epochs - epochs_run)
+            t_chunk = time.perf_counter()
             with jax.default_matmul_precision(self.matmul_precision):
                 params, opt_state, batch_stats, rngs, vlosses = self._train_chunk(
                     params, opt_state, batch_stats, rngs, lrs_dev,
@@ -605,7 +635,17 @@ class ParallelTrials:
                     n_samples=n, n_batches=n_batches, batch_size=batch_size,
                     n_epochs=n_epochs,
                 )
+            if host_work is not None:
+                est = self._chunk_wall_est.get((K, n_epochs))
+                spent = time.perf_counter() - t_chunk
+                budget = (
+                    max(0.0, 0.9 * est - spent) if est is not None else 0.05
+                )
+                host_work(budget)
             v_chunk = np.asarray(vlosses)  # (K, n_epochs)
+            self._chunk_wall_est[(K, n_epochs)] = (
+                time.perf_counter() - t_chunk
+            )
             stop = False
             for ei in range(n_epochs):
                 epochs_run += 1

@@ -14,7 +14,8 @@ perturbations of the incumbent.
 
 from __future__ import annotations
 
-from typing import List
+import time
+from typing import List, Optional
 
 import numpy as np
 from scipy.linalg import solve_triangular
@@ -38,22 +39,31 @@ def _sq_dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 
 class GaussianProcess:
-    def __init__(self, X: np.ndarray, y: np.ndarray):
-        """Log-marginal grid fit of (length scale, noise) + one Cholesky."""
+    def __init__(self, X: np.ndarray, y: np.ndarray, hyper_cap: int = 512):
+        """Log-marginal grid fit of (length scale, noise) + one Cholesky.
+
+        ``hyper_cap``: above this history size, the 24-combo grid's
+        log-marginal is scored on an evenly-strided subsample (the combo
+        ranking is insensitive to thinning a dense design) and only the
+        winning combo pays the full O(n^3) factorization — otherwise the
+        grid costs 24 full Cholesky factorizations and stops hiding under
+        device rounds in pipelined HPO (hpo.py). At n <= hyper_cap the fit
+        is exactly the original full-grid fit.
+        """
         self.X = X
         self.y_mean = float(np.mean(y))
         self.y_std = float(np.std(y)) or 1.0
         self.y = (y - self.y_mean) / self.y_std
-        self._fit()
+        self._fit(hyper_cap)
 
-    def _fit(self):
-        n = len(self.X)
-        d2 = _sq_dists(self.X, self.X)
+    @staticmethod
+    def _grid_search(X, y, d2):
         grid = [
             (ell, noise)
             for ell in (0.1, 0.2, 0.3, 0.5, 1.0, 2.0)
             for noise in (1e-6, 1e-4, 1e-2, 1e-1)
         ]
+        n = len(X)
         best = None
         for ell, noise in grid:
             K = _matern52(d2, ell) + noise * np.eye(n)
@@ -62,16 +72,39 @@ class GaussianProcess:
             except np.linalg.LinAlgError:
                 continue
             alpha = solve_triangular(
-                L.T, solve_triangular(L, self.y, lower=True), lower=False
+                L.T, solve_triangular(L, y, lower=True), lower=False
             )
             lml = (
-                -0.5 * float(self.y @ alpha)
+                -0.5 * float(y @ alpha)
                 - float(np.sum(np.log(np.diag(L))))
                 - 0.5 * n * np.log(2 * np.pi)
             )
             if best is None or lml > best[0]:
                 best = (lml, ell, noise, L, alpha)
-        _, self.ell, self.noise, self.L, self.alpha = best
+        return best
+
+    def _fit(self, hyper_cap: int):
+        n = len(self.X)
+        if n <= hyper_cap:
+            d2 = _sq_dists(self.X, self.X)
+            best = self._grid_search(self.X, self.y, d2)
+            _, self.ell, self.noise, self.L, self.alpha = best
+            return
+        idx = np.unique(np.linspace(0, n - 1, hyper_cap).astype(int))
+        Xs, ys = self.X[idx], self.y[idx]
+        d2s = _sq_dists(Xs, Xs)
+        _, self.ell, self.noise, _, _ = self._grid_search(Xs, ys, d2s)
+        d2 = _sq_dists(self.X, self.X)
+        K = _matern52(d2, self.ell) + self.noise * np.eye(n)
+        try:
+            self.L = np.linalg.cholesky(K)
+        except np.linalg.LinAlgError:
+            self.L = np.linalg.cholesky(K + 1e-6 * np.eye(n))
+        self.alpha = solve_triangular(
+            self.L.T,
+            solve_triangular(self.L, self.y, lower=True),
+            lower=False,
+        )
 
     def predict(self, Xq: np.ndarray):
         Kq = _matern52(_sq_dists(Xq, self.X), self.ell)
@@ -105,6 +138,7 @@ class BayesianOptimizer:
         n_initial_points: int = 10,
         seed: int = 42,
         n_candidates: int = 1024,
+        max_gp_points: int = 1024,
     ):
         # 1024 random + 256 incumbent-local candidates: halving the pool
         # from 2048 cut ask() cost ~2x with identical Branin/Hartmann-3
@@ -114,6 +148,13 @@ class BayesianOptimizer:
         self.n_initial = n_initial_points
         self.rng = np.random.default_rng(seed)
         self.n_candidates = n_candidates
+        # conditioning-set cap for large-budget sweeps (fanned-out rounds
+        # observe K=512 results per round): beyond this, the GP conditions
+        # on the best half + most recent half of the history — the exact
+        # posterior is O(m^2..m^3) per ask and would stop hiding under the
+        # device round. The full history is always kept for `best`,
+        # checkpointing, and the hedge gains.
+        self.max_gp_points = max_gp_points
         self.X: List[np.ndarray] = []
         self.y: List[float] = []
         # gp_hedge acquisition portfolio (EI / PI / LCB), probability-matched
@@ -147,7 +188,7 @@ class BayesianOptimizer:
         probs = np.exp(logits) / np.exp(logits).sum()
         return int(self.rng.choice(3, p=probs))
 
-    def ask(self, n: int = 1) -> List[dict]:
+    def ask(self, n: int = 1, pending: Optional[List[dict]] = None) -> List[dict]:
         """Suggest n parameter dicts; batched via constant-liar fantasies.
 
         GP hyperparameters are grid-fitted ONCE per ask (on the real
@@ -160,97 +201,19 @@ class BayesianOptimizer:
         the candidate-generation cost). Standardization is frozen for the
         whole ask: fantasies all sit at the incumbent value and would
         otherwise drag the mean between suggestions.
+
+        ``pending`` conditions the whole batch on suggestions already
+        dispatched but not yet observed (async-BO constant liar); see
+        AskSession, which also lets the caller produce these suggestions
+        incrementally while a TPU round trains.
         """
-        out: List[dict] = []
-        X = list(self.X)
-        y = list(self.y)
-        # random warm-up phase
-        while len(out) < n and len(X) < self.n_initial:
-            u = self.rng.random(len(self.space))
-            out.append(self.space.from_unit(u))
-            # fantasize the current best so subsequent suggestions diversify
-            X.append(self.space.to_unit(out[-1]))
-            y.append(float(np.min(y)) if y else 0.0)
-        n_gp = n - len(out)
-        if n_gp <= 0:
-            return out
+        return AskSession(self, n, pending=pending).finish()
 
-        Xb = np.asarray(X)
-        yb = np.asarray(y, float)
-        gp = GaussianProcess(Xb, yb)  # one 24-combo grid fit per ask
-        self._last_hypers = (gp.ell, gp.noise)
-        ell, noise = gp.ell, gp.noise
-        y_mean, y_std = gp.y_mean, gp.y_std
-        d = len(self.space)
-
-        # one shared candidate pool: quasi-random + incumbent-local points
-        inc = Xb[int(np.argmin(yb))]
-        cand = np.vstack([
-            self.rng.random((self.n_candidates, d)),
-            np.clip(
-                inc[None, :]
-                + self.rng.normal(0, 0.05, (self.n_candidates // 4, d)),
-                0.0, 1.0,
-            ),
-        ])
-        n_cand = cand.shape[0]
-
-        # incremental posterior state over the growing fantasy set, in
-        # preallocated buffers: L = chol(K + noise*I), w = L^-1 y_t,
-        # V = L^-1 K(X, cand)
-        m0 = Xb.shape[0]
-        M = m0 + n_gp
-        Lb = np.zeros((M, M))
-        Lb[:m0, :m0] = gp.L
-        Xg = np.zeros((M, d))
-        Xg[:m0] = Xb
-        wb = np.zeros(M)
-        wb[:m0] = solve_triangular(gp.L, gp.y, lower=True)
-        Vb = np.zeros((M, n_cand))
-        Vb[:m0] = solve_triangular(
-            gp.L, _matern52(_sq_dists(Xb, cand), ell), lower=True
-        )
-        y_best_t = float(np.min(gp.y))  # standardized incumbent (fantasy y*)
-        y_best = y_best_t * y_std + y_mean
-        m = m0
-        # running posterior accumulators over the candidate pool: appending
-        # fantasy row m adds Vb[m]*wb[m] to the mean and Vb[m]^2 to the
-        # explained variance — O(C) per suggestion instead of O(C*m)
-        mu_t = Vb[:m0].T @ wb[:m0]
-        s2 = np.einsum("ij,ij->j", Vb[:m0], Vb[:m0])
-
-        for _ in range(n_gp):
-            mu = mu_t * y_std + y_mean
-            var = np.maximum(1.0 - s2 + noise, 1e-12)
-            sigma = np.sqrt(var) * y_std
-            strategy = self._pick_strategy()
-            self._last_strategy = strategy
-            if strategy == 0:
-                score = expected_improvement(mu, sigma, y_best)
-            elif strategy == 1:
-                score = probability_of_improvement(mu, sigma, y_best)
-            else:
-                score = lower_confidence_bound(mu, sigma)
-            u = cand[int(np.argmax(score))]
-            out.append(self.space.from_unit(u))
-
-            # rank-1 fantasy update at the QUANTIZED suggestion (the point
-            # the trial will actually run — quantization collapses the
-            # acquisition at the true trial location, not just near it)
-            xq = np.asarray(self.space.to_unit(out[-1]), float)
-            k_new = _matern52(_sq_dists(Xg[:m], xq[None, :]), ell)[:, 0]
-            l = solve_triangular(Lb[:m, :m], k_new, lower=True)
-            lam = np.sqrt(max(1.0 + noise - float(l @ l), 1e-10))
-            Lb[m, :m] = l
-            Lb[m, m] = lam
-            Xg[m] = xq
-            wb[m] = (y_best_t - float(l @ wb[:m])) / lam
-            kc_new = _matern52(_sq_dists(xq[None, :], cand), ell)[0]
-            Vb[m] = (kc_new - l @ Vb[:m]) / lam
-            mu_t = mu_t + Vb[m] * wb[m]
-            s2 = s2 + Vb[m] * Vb[m]
-            m += 1
-        return out
+    def ask_session(
+        self, n: int, pending: Optional[List[dict]] = None
+    ) -> "AskSession":
+        """Resumable ask for pipelined HPO — see AskSession."""
+        return AskSession(self, n, pending=pending)
 
     def tell(self, params: dict, value: float) -> None:
         value = float(value)
@@ -280,3 +243,242 @@ class BayesianOptimizer:
             return None, None
         i = int(np.argmin(self.y))
         return self.space.from_unit(self.X[i]), self.y[i]
+
+
+class AskSession:
+    """Resumable batched ask: suggestions are produced one rank-1 step at
+    a time so the host can interleave them with device work.
+
+    Purpose: pipelined HPO (train/hpo.py). While a TPU round trains, the
+    host computes the NEXT round's suggestions in the gap between a device
+    chunk's dispatch and its blocking fetch (``work(budget_s)``), so
+    Bayesian-optimizer time hides under device time instead of serializing
+    with it — the reference's skopt optimizer is strictly sequential
+    (main.py:336-341, one ask per trial between fits). Threads are
+    deliberately not used: a GIL-holding tunnel call can starve a
+    background thread for minutes (observed; see CLAUDE.md), while
+    main-thread slicing cannot be starved.
+
+    ``pending`` are suggestions already dispatched but not yet observed.
+    They join the fantasy set at the incumbent value (constant liar,
+    Ginsbourger et al. 2010) via ONE blocked Cholesky extension (BLAS-3,
+    milliseconds) rather than per-point rank-1 updates, keeping session
+    setup cheap; all sequential work lives in ``step()`` (~1-10 ms each).
+
+    Math and RNG draw order for ``pending=None`` are identical to the
+    original one-shot ``ask`` (equivalence-tested in tests/test_hpo.py).
+    """
+
+    def __init__(self, opt: BayesianOptimizer, n: int, pending=None):
+        self.opt = opt
+        self.n = int(n)
+        self.out: List[dict] = []
+        self._random_mode = False
+        self._done = self.n <= 0
+        if self._done:
+            return
+
+        space = opt.space
+        rng = opt.rng
+        X = list(opt.X)
+        y = list(opt.y)
+
+        # random warm-up phase (identical to the one-shot ask); pending
+        # points count toward the initial-design size like any fantasy
+        X_pend = (
+            [np.asarray(space.to_unit(p), float) for p in pending]
+            if pending else []
+        )
+        while len(self.out) < self.n and len(X) + len(X_pend) < opt.n_initial:
+            u = rng.random(len(space))
+            self.out.append(space.from_unit(u))
+            # fantasize the current best so subsequent suggestions diversify
+            X.append(space.to_unit(self.out[-1]))
+            y.append(float(np.min(y)) if y else 0.0)
+        self.n_gp = self.n - len(self.out)
+        if self.n_gp <= 0:
+            self._done = True
+            return
+
+        # no real observations yet (pending-only history, e.g. the session
+        # for round 2 created while round 1 is still in flight): there is
+        # nothing to condition a GP on — explore uniformly at random
+        self._random_mode = len(X) == 0
+        if self._random_mode:
+            return
+
+        Xb = np.asarray(X)
+        yb = np.asarray(y, float)
+        cap = opt.max_gp_points
+        if len(Xb) > cap:
+            # condition on the best half + the most recent half (always
+            # includes the incumbent); order is preserved so recency and
+            # the warm-up fantasies keep their positions
+            order = np.argsort(yb, kind="stable")
+            keep = set(order[: cap // 2].tolist())
+            for i in range(len(Xb) - 1, -1, -1):
+                if len(keep) >= cap:
+                    break
+                keep.add(i)
+            sel = np.asarray(sorted(keep))
+            Xb, yb = Xb[sel], yb[sel]
+        gp = GaussianProcess(Xb, yb)  # one 24-combo grid fit per session
+        opt._last_hypers = (gp.ell, gp.noise)
+        self.ell, self.noise = gp.ell, gp.noise
+        self.y_mean, self.y_std = gp.y_mean, gp.y_std
+        d = len(space)
+
+        # one shared candidate pool: quasi-random + incumbent-local points
+        inc = Xb[int(np.argmin(yb))]
+        cand = np.vstack([
+            rng.random((opt.n_candidates, d)),
+            np.clip(
+                inc[None, :]
+                + rng.normal(0, 0.05, (opt.n_candidates // 4, d)),
+                0.0, 1.0,
+            ),
+        ])
+        self.cand = cand
+        n_cand = cand.shape[0]
+
+        # incremental posterior state over the growing fantasy set, in
+        # preallocated buffers: L = chol(K + noise*I), w = L^-1 y_t,
+        # V = L^-1 K(X, cand)
+        m0 = Xb.shape[0]
+        M = m0 + len(X_pend) + self.n_gp
+        self.Lb = np.zeros((M, M))
+        self.Lb[:m0, :m0] = gp.L
+        self.Xg = np.zeros((M, d))
+        self.Xg[:m0] = Xb
+        self.wb = np.zeros(M)
+        self.wb[:m0] = solve_triangular(gp.L, gp.y, lower=True)
+        self.Vb = np.zeros((M, n_cand))
+        self.Vb[:m0] = solve_triangular(
+            gp.L, _matern52(_sq_dists(Xb, cand), self.ell), lower=True
+        )
+        self.y_best_t = float(np.min(gp.y))  # standardized incumbent
+        self.y_best = self.y_best_t * self.y_std + self.y_mean
+        self.m = m0
+        if X_pend:
+            self._extend_block(np.asarray(X_pend))
+
+        # running posterior accumulators over the candidate pool: appending
+        # fantasy row m adds Vb[m]*wb[m] to the mean and Vb[m]^2 to the
+        # explained variance — O(C) per suggestion instead of O(C*m)
+        self.mu_t = self.Vb[: self.m].T @ self.wb[: self.m]
+        self.s2 = np.einsum(
+            "ij,ij->j", self.Vb[: self.m], self.Vb[: self.m]
+        )
+
+    def _extend_block(self, Xp: np.ndarray) -> None:
+        """Append P known points as liar fantasies in one blocked Cholesky
+        extension: L21 = K21 L11^-T, L22 = chol(K22 + noise*I - L21 L21^T).
+        Escalating jitter guards near-duplicate pending rows; the per-point
+        rank-1 path (whose lam floor handles exact repeats) is the
+        fallback."""
+        m, P = self.m, Xp.shape[0]
+        L11 = self.Lb[:m, :m]
+        K21 = _matern52(_sq_dists(Xp, self.Xg[:m]), self.ell)
+        L21 = solve_triangular(L11, K21.T, lower=True).T
+        S = (
+            _matern52(_sq_dists(Xp, Xp), self.ell)
+            + self.noise * np.eye(P)
+            - L21 @ L21.T
+        )
+        L22 = None
+        for eps in (0.0, 1e-10, 1e-8, 1e-6, 1e-4):
+            try:
+                L22 = np.linalg.cholesky(S + eps * np.eye(P))
+                break
+            except np.linalg.LinAlgError:
+                continue
+        if L22 is None:
+            for i in range(P):
+                self._rank1_append(Xp[i])
+            return
+        self.Lb[m:m + P, :m] = L21
+        self.Lb[m:m + P, m:m + P] = L22
+        self.Xg[m:m + P] = Xp
+        y_t = np.full(P, self.y_best_t)
+        self.wb[m:m + P] = solve_triangular(
+            L22, y_t - L21 @ self.wb[:m], lower=True
+        )
+        Kc = _matern52(_sq_dists(Xp, self.cand), self.ell)
+        self.Vb[m:m + P] = solve_triangular(
+            L22, Kc - L21 @ self.Vb[:m], lower=True
+        )
+        self.m = m + P
+
+    def _rank1_append(self, xq: np.ndarray) -> None:
+        m = self.m
+        k_new = _matern52(_sq_dists(self.Xg[:m], xq[None, :]), self.ell)[:, 0]
+        l = solve_triangular(self.Lb[:m, :m], k_new, lower=True)
+        lam = np.sqrt(max(1.0 + self.noise - float(l @ l), 1e-10))
+        self.Lb[m, :m] = l
+        self.Lb[m, m] = lam
+        self.Xg[m] = xq
+        self.wb[m] = (self.y_best_t - float(l @ self.wb[:m])) / lam
+        kc_new = _matern52(_sq_dists(xq[None, :], self.cand), self.ell)[0]
+        self.Vb[m] = (kc_new - l @ self.Vb[:m]) / lam
+        self.m = m + 1
+
+    @property
+    def done(self) -> bool:
+        return self._done
+
+    def step(self) -> dict:
+        """Produce ONE suggestion: acquisition argmax over the shared pool,
+        then a rank-1 fantasy update at the QUANTIZED suggestion (the point
+        the trial will actually run — quantization collapses the
+        acquisition at the true trial location, not just near it)."""
+        opt = self.opt
+        if self._random_mode:
+            u = opt.rng.random(len(opt.space))
+            params = opt.space.from_unit(u)
+            self.out.append(params)
+            if len(self.out) >= self.n:
+                self._done = True
+            return params
+        mu = self.mu_t * self.y_std + self.y_mean
+        var = np.maximum(1.0 - self.s2 + self.noise, 1e-12)
+        sigma = np.sqrt(var) * self.y_std
+        strategy = opt._pick_strategy()
+        opt._last_strategy = strategy
+        if strategy == 0:
+            score = expected_improvement(mu, sigma, self.y_best)
+        elif strategy == 1:
+            score = probability_of_improvement(mu, sigma, self.y_best)
+        else:
+            score = lower_confidence_bound(mu, sigma)
+        u = self.cand[int(np.argmax(score))]
+        params = opt.space.from_unit(u)
+        self.out.append(params)
+
+        xq = np.asarray(opt.space.to_unit(params), float)
+        m = self.m
+        self._rank1_append(xq)
+        self.mu_t = self.mu_t + self.Vb[m] * self.wb[m]
+        self.s2 = self.s2 + self.Vb[m] * self.Vb[m]
+        if len(self.out) >= self.n:
+            self._done = True
+        return params
+
+    def work(self, budget_s: float) -> bool:
+        """Run steps until ~budget_s seconds elapse or the session is done.
+
+        Called between a device chunk's dispatch and its blocking fetch;
+        per-step granularity is ~1-10 ms, so overrun past the budget is
+        bounded by one step. Returns ``done``.
+        """
+        t0 = time.perf_counter()
+        while not self._done:
+            self.step()  # always progresses: a zero budget = one step
+            if time.perf_counter() - t0 >= budget_s:
+                break
+        return self._done
+
+    def finish(self) -> List[dict]:
+        """Complete any remaining steps and return all n suggestions."""
+        while not self._done:
+            self.step()
+        return self.out

@@ -59,6 +59,7 @@ class HyperparameterTuning:
         batch_ask: int = 1,
         seed: int = 42,
         mesh=None,
+        pipeline_ask: bool = True,
     ):
         self.dataset = dataset
         self.model_class = model_class
@@ -80,6 +81,13 @@ class HyperparameterTuning:
         self.output_layers = output_layers
         self.checkpoint_path = checkpoint_path
         self.batch_ask = max(int(batch_ask), 1)
+        # pipeline_ask: with batched rounds, compute round N+1's GP
+        # suggestions (conditioned on round N as constant-liar pending —
+        # gp.AskSession) in the host gaps while round N trains on device,
+        # so Bayesian-optimizer time hides under device time instead of
+        # serializing with it
+        self.pipeline_ask = bool(pipeline_ask)
+        self._host_work = None
         self.seed = seed
         # explicit mesh, or None -> auto-build a trial mesh per round when
         # multiple devices are visible (_trial_mesh)
@@ -369,6 +377,7 @@ class HyperparameterTuning:
             # convergence-equivalent and ~1.3x faster (ops/sr_adam.py);
             # warm-started fits (fine-tuner) keep float32
             param_dtype="bfloat16_sr",
+            host_work=self._host_work,
         )
         return [
             (float(out["best_val_loss"][k]), int(out["best_epoch"][k]), None)
@@ -439,6 +448,7 @@ class HyperparameterTuning:
             early_stop_patience=self.early_stop_patience,
             param_dtype="bfloat16_sr",
             mesh=self._trial_mesh(K * k),
+            host_work=self._host_work,
         )
         loss = np.asarray(out["best_val_loss"]).reshape(K, k).mean(axis=1)
         ep = np.asarray(out["best_epoch"]).reshape(K, k).mean(axis=1)
@@ -488,6 +498,7 @@ class HyperparameterTuning:
             max_epochs=int(group[0]["epochs"]),
             early_stop_patience=self.early_stop_patience,
             checkpoint_dir=ckpt_dir,
+            host_work=self._host_work,
         )
         if ckpt_dir is not None:
             import shutil
@@ -519,9 +530,21 @@ class HyperparameterTuning:
             start_iter = resume["iteration"]
 
         i = start_iter
-        while i < self.n_iter:
-            q = min(self.batch_ask, self.n_iter - i)
-            suggestions = opt.ask(q)
+        pipeline = self.pipeline_ask and self.batch_ask > 1
+        suggestions = (
+            opt.ask(min(self.batch_ask, self.n_iter - i))
+            if i < self.n_iter else []
+        )
+        while suggestions:
+            # pipelined ask: start the NEXT round's session now, with this
+            # round's suggestions as constant-liar pending; the trial
+            # engines drain it via host_work while the device trains
+            q_next = min(self.batch_ask, self.n_iter - i - len(suggestions))
+            session = (
+                opt.ask_session(q_next, pending=suggestions)
+                if pipeline and q_next > 0 else None
+            )
+            self._host_work = session.work if session is not None else None
             # same-architecture suggestions train CONCURRENTLY (vmapped over
             # the trial axis, parallel/trials.py); lr varies freely per trial
             for group in self._bucket_by_architecture(suggestions):
@@ -559,12 +582,20 @@ class HyperparameterTuning:
                         f"params={params}"
                     )
                     self._save_checkpoint(opt, best_params, float(best_loss), i)
+            self._host_work = None
             if hpo_patience > 0 and no_improvement >= hpo_patience:
                 print(
                     f"[INFO] No improvement for {hpo_patience} HPO iterations — "
                     "stopping early."
                 )
                 break
+            if session is not None:
+                # any ask work not already hidden under the device round
+                suggestions = session.finish()
+            elif i < self.n_iter:
+                suggestions = opt.ask(min(self.batch_ask, self.n_iter - i))
+            else:
+                suggestions = []
 
         best_params = dict(best_params)
         best_params["epochs"] = max(best_epochs, 1)

@@ -371,3 +371,166 @@ class TestGPRegret:
         )
         assert gp[-1] < rnd[-1], (gp[-1], rnd[-1])
         assert gp[-1] < -3.0, f"GP too far from Hartmann-3 optimum: {gp[-1]}"
+
+
+class TestPipelinedAsk:
+    """Pipelined GP ask (gp.AskSession + hpo pipeline_ask): round N+1's
+    suggestions are computed on the host, conditioned on round N as
+    constant-liar pending, while round N trains on device. The reference's
+    skopt loop is strictly sequential (main.py:336-341)."""
+
+    def _seeded_opt(self, seed=3, n_hist=30):
+        space = get_search_space("DirectPred")
+        opt = BayesianOptimizer(space, n_initial_points=10, seed=seed)
+        rng = np.random.default_rng(seed)
+        for _ in range(n_hist):
+            opt.tell(space.sample(rng), float(rng.normal()))
+        return space, opt
+
+    def test_session_slicing_matches_one_shot(self):
+        # producing suggestions through many tiny work() slices must give
+        # byte-identical results to one finish() (and hence to ask())
+        _, a = self._seeded_opt()
+        _, b = self._seeded_opt()
+        one_shot = a.ask(12)
+        session = b.ask_session(12)
+        while not session.done:
+            session.work(1e-9)  # at most one step per call
+        assert session.finish() == one_shot
+
+    def test_pending_conditioning(self):
+        _, opt = self._seeded_opt()
+        pend = opt.ask(8)
+        session = opt.ask_session(8, pending=pend)
+        # blocked Cholesky extension incorporated all pending rows
+        assert session.m == len(opt.X) + len(pend)
+        got = session.finish()
+        assert len(got) == 8
+        # the liar fantasies collapse the posterior at pending points, so
+        # the conditioned batch must not re-suggest any of them
+        assert not any(p in pend for p in got)
+
+    def test_duplicate_pending_robust(self):
+        # exact duplicate pending rows make the extension block singular;
+        # the jitter/rank-1 fallback must still produce valid suggestions
+        _, opt = self._seeded_opt()
+        pend = opt.ask(4)
+        got = opt.ask(4, pending=pend + pend)
+        assert len(got) == 4 and all(np.isfinite(p["lr"]) for p in got)
+
+    def test_pipelined_regret_branin(self):
+        # async/batched loop: round N+1 is asked BEFORE round N's results
+        # are told (exactly perform_tuning's pipeline) — must still beat
+        # random search at equal budget and approach the optimum
+        obj = lambda p: TestGPRegret._branin(p["x1"], p["x2"])
+        dims = lambda: [Real(-5, 10, name="x1"), Real(0, 15, name="x2")]
+        q, n_rounds = 5, 8
+
+        def run_pipelined(seed):
+            opt = BayesianOptimizer(SearchSpace(dims()), n_initial_points=10,
+                                    seed=seed)
+            best = np.inf
+            sugg = opt.ask(q)
+            for _ in range(n_rounds - 1):
+                nxt = opt.ask_session(q, pending=sugg)
+                for p in sugg:  # "train" round N, then tell
+                    v = obj(p)
+                    best = min(best, v)
+                    opt.tell(p, v)
+                sugg = nxt.finish()
+            for p in sugg:
+                best = min(best, obj(p))
+            return best
+
+        def run_random(seed):
+            rng = np.random.default_rng(seed)
+            space = SearchSpace(dims())
+            return min(obj(space.sample(rng)) for _ in range(q * n_rounds))
+
+        gp = np.mean([run_pipelined(s) for s in range(5)])
+        rnd = np.mean([run_random(100 + s) for s in range(5)])
+        assert gp < rnd, (gp, rnd)
+        assert gp < 1.5, f"pipelined GP regret too high on Branin: {gp}"
+
+    def test_conditioning_cap_still_beats_random(self):
+        # long-sweep path: beyond max_gp_points the GP conditions on the
+        # best+recent subset; optimization quality must survive the cap
+        obj = lambda p: TestGPRegret._branin(p["x1"], p["x2"])
+        dims = lambda: [Real(-5, 10, name="x1"), Real(0, 15, name="x2")]
+
+        def run_gp(seed):
+            opt = BayesianOptimizer(
+                SearchSpace(dims()), n_initial_points=10, seed=seed,
+                max_gp_points=30,
+            )
+            best = np.inf
+            for _ in range(80):
+                (p,) = opt.ask(1)
+                v = obj(p)
+                opt.tell(p, v)
+                best = min(best, v)
+            return best
+
+        def run_random(seed):
+            rng = np.random.default_rng(seed)
+            space = SearchSpace(dims())
+            return min(obj(space.sample(rng)) for _ in range(80))
+
+        gp = np.mean([run_gp(s) for s in range(5)])
+        rnd = np.mean([run_random(100 + s) for s in range(5)])
+        assert gp < rnd, (gp, rnd)
+        assert gp < 1.5, f"capped-GP regret too high on Branin: {gp}"
+
+    def test_hyper_cap_subsample_fit(self):
+        # above hyper_cap the grid is scored on a strided subsample but the
+        # posterior still conditions on every point — predictions at
+        # training points must stay near their targets
+        rng = np.random.default_rng(0)
+        X = rng.random((700, 2))
+        y = np.sin(3 * X[:, 0]) + np.cos(2 * X[:, 1])
+        gp = GaussianProcess(X, y, hyper_cap=128)
+        mu, sigma = gp.predict(X[:50])
+        assert np.allclose(mu, y[:50], atol=0.15)
+        assert gp.L.shape == (700, 700)
+
+    def test_perform_tuning_pipelined(self, tmp_path, monkeypatch):
+        # end-to-end: the trial engine must actually drain the ask session
+        # through the host_work hook, and tuning must complete correctly
+        from flexynesis_tpu.train import gp as gp_mod
+
+        p = tmp_path / "pipe"
+        write_synthetic_folder(str(p), n_train=80, n_test=40, seed=33)
+        imp = DataImporter(str(p), ["gex"], top_percentile=50, min_features=20)
+        train_ds, _ = imp.import_data()
+
+        work_calls = []
+        orig_work = gp_mod.AskSession.work
+
+        def spy_work(self, budget_s):
+            work_calls.append(budget_s)
+            return orig_work(self, budget_s)
+
+        monkeypatch.setattr(gp_mod.AskSession, "work", spy_work)
+
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=8, batch_ask=4,
+            early_stop_patience=-1, pipeline_ask=True,
+        )
+        for d in tuner.space.dimensions:
+            if d.name == "epochs":
+                d.categories = [6]
+            if d.name == "latent_dim":
+                d.low = d.high = 16
+            if d.name == "supervisor_hidden_dim":
+                d.low = d.high = 8
+            if d.name == "hidden_dim_factor":
+                d.low = d.high = 0.3
+            if d.name == "batch_size":
+                d.categories = [32]
+        model, best = tuner.perform_tuning()
+        assert model is not None and model.params is not None
+        assert np.isfinite(best["lr"])
+        assert len(work_calls) >= 1, (
+            "the engine never drained the pipelined ask session"
+        )
