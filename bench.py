@@ -756,7 +756,7 @@ _SECTION_EST_S = {
     "gnn": 45,
     "finetuner": 75,
     "gp": 5,
-    "e2e": 42,
+    "e2e": 75,
     "ingestion": 8,
 }
 
@@ -773,10 +773,16 @@ def bench_e2e_pipelined(n_rounds=2):
     round N trains on device, so GP time hides under device time. The
     previously-reported `e2e_trials_per_hour_incl_gp` is the computed
     SEQUENTIAL sum (engine_ms + gp_ms); this section measures the actual
-    pipelined loop, plus one sequential (unpipelined) round for an honest
-    same-engine comparison. Reuses the already-compiled headline engine
-    (lr-only space at the headline architecture) — no fresh compiles.
+    pipelined loop against a sequential (unpipelined) arm on the SAME
+    engine. Both arms run ``n_rounds`` timed rounds from a deep-copied
+    snapshot of the optimizer taken after a shared warm round, so they see
+    identical GP histories and RNG streams — neither arm is advantaged by
+    history size or a lone-sample tunnel swing. Reuses the
+    already-compiled headline engine (lr-only space at the headline
+    architecture) — no fresh compiles.
     """
+    import copy
+
     from flexynesis_tpu.train.gp import BayesianOptimizer
     from flexynesis_tpu.train.space import Real, SearchSpace
 
@@ -785,7 +791,6 @@ def bench_e2e_pipelined(n_rounds=2):
     k = max(_HEADLINE_CACHE)
     pt, tr, va = _HEADLINE_CACHE[k]
     space = SearchSpace([Real(1e-4, 1e-2, name="lr", prior="log-uniform")])
-    opt = BayesianOptimizer(space, n_initial_points=10, seed=0)
 
     def run_round(sugg, host_work):
         lrs = np.asarray([p["lr"] for p in sugg], np.float32)
@@ -796,43 +801,48 @@ def bench_e2e_pipelined(n_rounds=2):
         )
         return np.asarray(out["best_val_loss"])
 
-    def tell_all(sugg, losses):
+    def tell_all(opt, sugg, losses):
         for p, v in zip(sugg, losses):
             opt.tell(p, float(v))
 
-    # warm round: primes the engine's chunk-wall estimate that budgets
-    # host_work, and seeds the GP history (not timed, like the compile
-    # warm-up in bench_tpu)
+    # shared warm round: primes the engine's chunk-wall estimate that
+    # budgets host_work, and seeds a k-observation GP history both arms
+    # start from (not timed, like the compile warm-up in bench_tpu)
+    base = BayesianOptimizer(space, n_initial_points=10, seed=0)
+    sugg = base.ask(k)
+    tell_all(base, sugg, run_round(sugg, None))
+
+    # sequential arm: ask AFTER each round's tells, nothing overlapped —
+    # the apples-to-apples non-pipelined rate
+    opt = copy.deepcopy(base)
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        sugg = opt.ask(k)
+        tell_all(opt, sugg, run_round(sugg, None))
+    wall_seq = time.perf_counter() - t0
+    tph_seq = n_rounds * k * 3600.0 / wall_seq
+
+    # pipelined arm: one untimed lead round enters the steady state (its
+    # gaps compute the first timed round's suggestions), then n_rounds
+    # timed rounds whose asks hide under device work
+    opt = copy.deepcopy(base)
     sugg = opt.ask(k)
     nxt = opt.ask_session(k, pending=sugg)
-    tell_all(sugg, run_round(sugg, nxt.work))
+    tell_all(opt, sugg, run_round(sugg, nxt.work))
     sugg = nxt.finish()
-
-    # timed steady-state pipelined rounds
     hidden = []
     t0 = time.perf_counter()
-    trials = 0
     for r in range(n_rounds):
         nxt = (
             opt.ask_session(k, pending=sugg) if r < n_rounds - 1 else None
         )
         losses = run_round(sugg, nxt.work if nxt is not None else None)
-        tell_all(sugg, losses)
-        trials += len(sugg)
+        tell_all(opt, sugg, losses)
         if nxt is not None:
             hidden.append(len(nxt.out) / k)  # fraction drained in the gap
             sugg = nxt.finish()
     wall_pipe = time.perf_counter() - t0
-    tph_pipe = trials * 3600.0 / wall_pipe
-
-    # one sequential round on the same engine: ask AFTER the previous
-    # round, nothing overlapped — the apples-to-apples non-pipelined rate
-    t0 = time.perf_counter()
-    sugg = opt.ask(k)
-    losses = run_round(sugg, None)
-    tell_all(sugg, losses)
-    wall_seq = time.perf_counter() - t0
-    tph_seq = k * 3600.0 / wall_seq
+    tph_pipe = n_rounds * k * 3600.0 / wall_pipe
 
     return {
         "trials_per_hour_pipelined": round(tph_pipe, 1),
@@ -840,7 +850,7 @@ def bench_e2e_pipelined(n_rounds=2):
         "pipeline_speedup": round(tph_pipe / tph_seq, 3),
         "ask_fraction_hidden_under_device": round(float(np.mean(hidden)), 3)
         if hidden else None,
-        "rounds": n_rounds,
+        "rounds_per_arm": n_rounds,
         "trials_per_round": k,
         "gp_history_at_end": len(opt.y),
     }

@@ -356,6 +356,9 @@ class ParallelTrials:
         self.param_dtype = param_dtype
         self._train_chunk = None
         self._tx = None
+        # wall time of the last chunk per (K, n_epochs) shape — budgets
+        # host_work gaps across run() calls (HPO rounds repeat the shape)
+        self._chunk_wall_est: Dict = {}
 
     def _build(self):
         loss_fn = self.model.loss_fn
@@ -623,8 +626,6 @@ class ParallelTrials:
             manager.save(epochs_run, args=ocp.args.StandardSave(host))
             manager.wait_until_finished()
 
-        if not hasattr(self, "_chunk_wall_est"):
-            self._chunk_wall_est = {}
         while epochs_run < max_epochs:
             n_epochs = min(chunk, max_epochs - epochs_run)
             t_chunk = time.perf_counter()

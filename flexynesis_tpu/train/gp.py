@@ -160,8 +160,15 @@ class BayesianOptimizer:
         # gp_hedge acquisition portfolio (EI / PI / LCB), probability-matched
         # by accumulated gains — skopt Optimizer(acq_func="gp_hedge") analog
         self._gains = np.zeros(3)
-        self._last_strategy: int | None = None
-        self._last_hypers = (None, None)
+        # per-suggestion strategy attribution for the hedge update: maps a
+        # quantized unit-cube key to the strategies that produced in-flight
+        # suggestions at that point (a list — batched asks can repeat a
+        # point). A plain "last strategy" scalar misattributes under
+        # batched asks (n suggestions, n tells, one scalar) and under
+        # pipelined asks (round N+1's session steps interleave with round
+        # N's tells); entries are popped by tell(), so the map stays
+        # bounded by the number of suggestions in flight.
+        self._pending_strategy: dict = {}
 
     # ----------------------------------------------------------- persistence
 
@@ -187,6 +194,25 @@ class BayesianOptimizer:
         logits = eta * (self._gains - self._gains.max())
         probs = np.exp(logits) / np.exp(logits).sum()
         return int(self.rng.choice(3, p=probs))
+
+    def _strategy_key(self, params: dict) -> tuple:
+        return tuple(
+            np.round(np.asarray(self.space.to_unit(params), float), 12).tolist()
+        )
+
+    def _note_strategy(self, params: dict, strategy: int) -> None:
+        self._pending_strategy.setdefault(
+            self._strategy_key(params), []
+        ).append(strategy)
+
+    def _pop_strategy(self, params: dict):
+        lst = self._pending_strategy.get(self._strategy_key(params))
+        if not lst:
+            return None
+        s = lst.pop(0)
+        if not lst:
+            del self._pending_strategy[self._strategy_key(params)]
+        return s
 
     def ask(self, n: int = 1, pending: Optional[List[dict]] = None) -> List[dict]:
         """Suggest n parameter dicts; batched via constant-liar fantasies.
@@ -231,11 +257,11 @@ class BayesianOptimizer:
                 value = 1e6
         self.X.append(self.space.to_unit(params))
         self.y.append(value)
-        if self._last_strategy is not None:
+        strategy = self._pop_strategy(params)
+        if strategy is not None:
             # reward the strategy that produced this suggestion with the
             # (negated) observed loss — better observations grow its gain
-            self._gains[self._last_strategy] += -value
-            self._last_strategy = None
+            self._gains[strategy] += -value
 
     @property
     def best(self):
@@ -323,7 +349,6 @@ class AskSession:
             sel = np.asarray(sorted(keep))
             Xb, yb = Xb[sel], yb[sel]
         gp = GaussianProcess(Xb, yb)  # one 24-combo grid fit per session
-        opt._last_hypers = (gp.ell, gp.noise)
         self.ell, self.noise = gp.ell, gp.noise
         self.y_mean, self.y_std = gp.y_mean, gp.y_std
         d = len(space)
@@ -443,7 +468,6 @@ class AskSession:
         var = np.maximum(1.0 - self.s2 + self.noise, 1e-12)
         sigma = np.sqrt(var) * self.y_std
         strategy = opt._pick_strategy()
-        opt._last_strategy = strategy
         if strategy == 0:
             score = expected_improvement(mu, sigma, self.y_best)
         elif strategy == 1:
@@ -452,6 +476,7 @@ class AskSession:
             score = lower_confidence_bound(mu, sigma)
         u = self.cand[int(np.argmax(score))]
         params = opt.space.from_unit(u)
+        opt._note_strategy(params, strategy)
         self.out.append(params)
 
         xq = np.asarray(opt.space.to_unit(params), float)

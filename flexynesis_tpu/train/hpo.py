@@ -536,18 +536,26 @@ class HyperparameterTuning:
             if i < self.n_iter else []
         )
         while suggestions:
+            groups = list(self._bucket_by_architecture(suggestions))
             # pipelined ask: start the NEXT round's session now, with this
             # round's suggestions as constant-liar pending; the trial
-            # engines drain it via host_work while the device trains
+            # engines drain it via host_work while the device trains.
+            # Only worth it if at least one group takes a parallel-engine
+            # path that actually drains host_work — otherwise the session
+            # would pay constant-liar staleness (vs conditioning on this
+            # round's real losses) while hiding zero ask time
             q_next = min(self.batch_ask, self.n_iter - i - len(suggestions))
+            drains = any(len(g) > 1 for g in groups) and (
+                not self.use_cv or self.parallel_folds
+            )
             session = (
                 opt.ask_session(q_next, pending=suggestions)
-                if pipeline and q_next > 0 else None
+                if pipeline and drains and q_next > 0 else None
             )
             self._host_work = session.work if session is not None else None
             # same-architecture suggestions train CONCURRENTLY (vmapped over
             # the trial axis, parallel/trials.py); lr varies freely per trial
-            for group in self._bucket_by_architecture(suggestions):
+            for group in groups:
                 t0 = time.perf_counter()
                 if len(group) > 1 and self.use_cv and self.parallel_folds:
                     # suggestions x folds fuse into one K*k-trial program

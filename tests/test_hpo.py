@@ -387,6 +387,32 @@ class TestPipelinedAsk:
             opt.tell(space.sample(rng), float(rng.normal()))
         return space, opt
 
+    def test_hedge_credit_per_suggestion(self):
+        # gp_hedge gains must credit each observation to the strategy that
+        # produced THAT suggestion — even when a pipelined session for the
+        # next round interleaves its own strategy picks before this
+        # round's tells (a shared "last strategy" scalar misattributes)
+        _, opt = self._seeded_opt()
+        sugg = opt.ask(4)
+        noted = sum(len(v) for v in opt._pending_strategy.values())
+        assert noted == 4
+        nxt = opt.ask_session(4, pending=sugg)
+        nxt.finish()  # round N+1 computed before round N is told
+        assert sum(len(v) for v in opt._pending_strategy.values()) == 8
+        gains_before = opt._gains.copy()
+        vals = [1.0, 2.0, 3.0, 4.0]
+        for p, v in zip(sugg, vals):
+            opt.tell(p, v)
+        # exactly round N's 4 strategies were credited, with the full
+        # negated losses; round N+1's entries remain pending
+        assert sum(len(v) for v in opt._pending_strategy.values()) == 4
+        np.testing.assert_allclose(
+            float((opt._gains - gains_before).sum()), -sum(vals)
+        )
+        for p, v in zip(nxt.out, vals):
+            opt.tell(p, v)
+        assert not opt._pending_strategy
+
     def test_session_slicing_matches_one_shot(self):
         # producing suggestions through many tiny work() slices must give
         # byte-identical results to one finish() (and hence to ask())
