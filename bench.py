@@ -1094,6 +1094,11 @@ def _main_body(budget_s: float):
     run_section("batch_inference", "inference",
                 lambda: bench_inference(gex, cnv, cls))
     run_section("ig_attribution", "ig", lambda: bench_ig(gex, cnv, cls))
+    # near-free sections run before the expensive high-variance ones
+    # (large/vae/finetuner pay 30-120s tunnel compiles with 2-4x
+    # contention swings — one slow section must not starve a 5s one)
+    run_section("gp_overhead", "gp", bench_gp_overhead)
+    run_section("csv_ingestion", "ingestion", bench_ingestion)
     # e2e runs early: it is the round-3 novel evidence (pipelined GP ask)
     # and costs no compile — it reuses the headline engine's chunk
     run_section("e2e_pipelined", "e2e", bench_e2e_pipelined)
@@ -1102,8 +1107,6 @@ def _main_body(budget_s: float):
     run_section("gnn", "gnn", bench_gnn)
     run_section("finetuner", "finetuner",
                 lambda: bench_finetuner(gex, cnv, cls))
-    run_section("gp_overhead", "gp", bench_gp_overhead)
-    run_section("csv_ingestion", "ingestion", bench_ingestion)
 
     # computed sequential e2e (engine rate + host GP cost serialized) —
     # kept as the comparison point for the MEASURED pipelined loop above
