@@ -560,3 +560,48 @@ class TestPipelinedAsk:
         assert len(work_calls) >= 1, (
             "the engine never drained the pipelined ask session"
         )
+
+    def test_pipeline_gated_off_non_draining_paths(self, tmp_path, monkeypatch):
+        # use_cv without parallel folds runs every suggestion through the
+        # sequential objective(), which never calls host_work — the
+        # pipelined session must NOT be created there (it would pay
+        # constant-liar staleness while hiding zero ask time)
+        from flexynesis_tpu.train import gp as gp_mod
+
+        p = tmp_path / "gate"
+        write_synthetic_folder(str(p), n_train=80, n_test=40, seed=34)
+        imp = DataImporter(str(p), ["gex"], top_percentile=50, min_features=20)
+        train_ds, _ = imp.import_data()
+
+        sessions = []
+        orig = gp_mod.BayesianOptimizer.ask_session
+
+        def spy_session(self, n, pending=None):
+            s = orig(self, n, pending=pending)
+            sessions.append(s)
+            return s
+
+        monkeypatch.setattr(gp_mod.BayesianOptimizer, "ask_session", spy_session)
+
+        tuner = HyperparameterTuning(
+            train_ds, DirectPred, "DirectPred",
+            target_variables=["subtype"], n_iter=4, batch_ask=2,
+            early_stop_patience=-1, pipeline_ask=True, use_cv=True,
+        )
+        tuner.parallel_folds = False
+        for d in tuner.space.dimensions:
+            if d.name == "epochs":
+                d.categories = [4]
+            if d.name == "latent_dim":
+                d.low = d.high = 16
+            if d.name == "supervisor_hidden_dim":
+                d.low = d.high = 8
+            if d.name == "hidden_dim_factor":
+                d.low = d.high = 0.3
+            if d.name == "batch_size":
+                d.categories = [32]
+        model, _ = tuner.perform_tuning()
+        assert model is not None
+        assert not sessions, (
+            "pipelined session created on a path that never drains host_work"
+        )
