@@ -72,6 +72,11 @@ def trial_optimizer(moment_dtype: str = "bfloat16") -> optax.GradientTransformat
     moment precision; "float32" falls back to stock optax."""
     if moment_dtype in (None, "float32"):
         adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    elif moment_dtype in ("int8", "int8_m"):
+        # block-scaled int8 moments exist only inside the SR engine
+        # (ops/sr_adam.py q8_encode_*); this optax chain is the non-SR
+        # fallback and stores bfloat16 there
+        adam = scale_by_adam_lowp(state_dtype=jnp.bfloat16)
     else:
         adam = scale_by_adam_lowp(state_dtype=jnp.dtype(moment_dtype))
     return optax.chain(optax.clip_by_global_norm(1.0), adam)

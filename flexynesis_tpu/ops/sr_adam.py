@@ -28,6 +28,28 @@ Per element per step this moves 2(p)+2(m)+2(v)+2(g) bytes read + 6 bytes
 written, vs 12+12 for the float32-state optax chain — and the same code
 runs identically (and deterministically) on CPU for tests.
 
+``moment_dtype="int8"`` (sr_adam_init) additionally stores the big leaves'
+moments in 8 bits with per-row (last-axis) float32 scales: m as linear
+int8 with stochastic rounding (unbiased; the EMA re-accumulates fresh
+gradient each step so stale quant noise decays geometrically), v as an
+8-bit LOG encoding (8 steps/octave over 32 octaves below the row max —
+v's within-row dynamic range makes linear int8 useless, and elements
+quantized to zero would explode m/(sqrt(v)+eps); the log floor decodes to
+~4e-10x the row max, below Adam's eps exactly where float32 underflow
+lands too). Traffic drops to 2+1+1+2 read + 4 written (+8/row of scale),
+~1.4x on paper on the moment-bound engines.
+
+**Measured verdict (tools/measure_q8_moments.py, real v5e, K=512): keep
+bf16 moments.** Numerics are excellent (lr-ranking Spearman 0.9994 vs
+bf16, median val-loss delta 0.0015) but throughput HALVES (0.52x; m-only
+"int8_m" with no transcendentals still 0.57x): the per-row absmax scale
+is a data-dependent reduction that breaks XLA's single-pass fused update
+chain — m32 materializes in f32, then the quantized write is a second
+pass, ADDING traffic instead of saving it. Same ceiling as the Pallas
+update kernel (module note above): on XLA/TPU the fused bf16 chain is
+the floor. int8 stays available as an opt-in for HBM-capacity-starved
+configs, not as a speed lever.
+
 No reference analog (the reference trains trials sequentially with
 torch.optim.Adam — main.py:352-398); this is a TPU-bandwidth optimization
 of the trial fan-out engine. The single-model Trainer keeps float32.
@@ -71,6 +93,58 @@ def sr_bf16(x32, seed):
     xi = jax.lax.bitcast_convert_type(x32, jnp.uint32)
     yi = (xi + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(yi, jnp.float32).astype(jnp.bfloat16)
+
+
+def _u01(shape, seed):
+    """Per-element uniform [0,1) from the hash (24-bit resolution)."""
+    return (hash_bits(shape, seed) >> 8).astype(jnp.float32) * jnp.float32(
+        2.0 ** -24
+    )
+
+
+def q8_encode_m(m32, seed):
+    """First moment -> int8 with a per-row (last-axis) absmax scale.
+
+    Linear symmetric quantization with stochastic rounding: unbiased, and
+    the EMA re-accumulates fresh gradient every step so stale quantization
+    noise decays geometrically (stationary error std ~= absmax/110).
+    """
+    s = jnp.maximum(jnp.max(jnp.abs(m32), axis=-1, keepdims=True), 1e-30)
+    x = jnp.clip(m32 * (127.0 / s), -127.0, 127.0)
+    q = jnp.floor(x + _u01(m32.shape, seed)).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def q8_decode_m(d):
+    return d["q"].astype(jnp.float32) * (d["s"] * jnp.float32(1.0 / 127.0))
+
+
+def q8_encode_v(v32, seed):
+    """Second moment -> 8-bit LOG encoding with a per-row absmax scale.
+
+    v's within-row dynamic range spans far too many octaves for linear
+    int8 (elements quantized to 0 would explode m/(sqrt(v)+eps)), so store
+    octaves-below-row-max of sqrt(v) at 8 steps/octave: 32 octaves of
+    range, <=4.4% error in the Adam denominator before stochastic
+    rounding. q=255 decodes to sqrt(v) ~= 4e-10 * s, far below eps for any
+    realistic scale — exactly where float32 Adam's eps takes over anyway.
+    """
+    r = jnp.sqrt(v32)
+    s = jnp.maximum(jnp.max(r, axis=-1, keepdims=True), 1e-30)
+    e = jnp.maximum(-8.0 * jnp.log2(jnp.maximum(r / s, 2.0 ** -40)), 0.0)
+    q = jnp.minimum(
+        jnp.floor(e + _u01(v32.shape, seed)), 255.0
+    ).astype(jnp.uint8)
+    return {"q": q, "s": s}
+
+
+def q8_decode_v(d):
+    r = d["s"] * jnp.exp2(d["q"].astype(jnp.float32) * jnp.float32(-0.125))
+    return r * r
+
+
+def _is_q8(leaf) -> bool:
+    return isinstance(leaf, dict) and "q" in leaf and "s" in leaf
 
 
 def cast_params_for_sr(params):
@@ -120,10 +194,42 @@ def trial_update_step(params, opt_state, grads, lr, rng, *, sr, tx,
     return params, opt_state, rng
 
 
-def sr_adam_init(params):
-    """(m, v, count); moment dtype mirrors each param leaf's dtype."""
+def sr_adam_init(params, moment_dtype: str = "mirror"):
+    """(m, v, count).
+
+    ``moment_dtype="mirror"`` (default): moment dtype mirrors each param
+    leaf's dtype (bf16 for the big SR-stored leaves). ``"int8"``: the big
+    (bf16) leaves store block-scaled 8-bit moments instead — int8 linear
+    for m, log8 for v (q8_encode_*), halving the remaining moment traffic
+    on the HBM-bound trial engines; small float32 leaves keep float32
+    moments either way.
+    """
     zeros = lambda a: jnp.zeros(a.shape, a.dtype)
-    return (jax.tree.map(zeros, params), jax.tree.map(zeros, params),
+    if moment_dtype not in ("int8", "int8_m"):
+        return (jax.tree.map(zeros, params), jax.tree.map(zeros, params),
+                jnp.zeros((), jnp.uint32))
+
+    def init_m(a):
+        if a.dtype != jnp.bfloat16:
+            return zeros(a)
+        return {
+            "q": jnp.zeros(a.shape, jnp.int8),
+            "s": jnp.full(a.shape[:-1] + (1,), 1e-30, jnp.float32),
+        }
+
+    def init_v(a):
+        if a.dtype != jnp.bfloat16:
+            return zeros(a)
+        # q=255 at the floor scale decodes to ~0 (see q8_encode_v)
+        return {
+            "q": jnp.full(a.shape, 255, jnp.uint8),
+            "s": jnp.full(a.shape[:-1] + (1,), 1e-30, jnp.float32),
+        }
+
+    # "int8_m": quantize only the first moment (linear int8 — no
+    # transcendentals); v keeps the mirrored bf16 storage
+    init_v_eff = init_v if moment_dtype == "int8" else zeros
+    return (jax.tree.map(init_m, params), jax.tree.map(init_v_eff, params),
             jnp.zeros((), jnp.uint32))
 
 
@@ -157,8 +263,8 @@ def sr_adam_step(params, state, grads, lr, seed, *, masks=None,
     b2c = 1.0 - b2**c
 
     leaves_p, treedef = jax.tree.flatten(params)
-    leaves_m = jax.tree.leaves(m)
-    leaves_v = jax.tree.leaves(v)
+    leaves_m = jax.tree.flatten(m, is_leaf=_is_q8)[0]
+    leaves_v = jax.tree.flatten(v, is_leaf=_is_q8)[0]
     leaves_g = jax.tree.leaves(grads)
     leaves_k = (jax.tree.leaves(masks) if masks is not None
                 else [None] * len(leaves_p))
@@ -181,18 +287,26 @@ def sr_adam_step(params, state, grads, lr, seed, *, masks=None,
         zip(leaves_p, leaves_m, leaves_v, leaves_g, leaves_k)
     ):
         g32 = lg.astype(jnp.float32) * gscale
-        m32 = b1 * lm.astype(jnp.float32) + (1.0 - b1) * g32
-        v32 = b2 * lv.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+        m_prev = q8_decode_m(lm) if _is_q8(lm) else lm.astype(jnp.float32)
+        v_prev = q8_decode_v(lv) if _is_q8(lv) else lv.astype(jnp.float32)
+        m32 = b1 * m_prev + (1.0 - b1) * g32
+        v32 = b2 * v_prev + (1.0 - b2) * g32 * g32
         u = (m32 / b1c) / (jnp.sqrt(v32 / b2c) + eps)
         if lk is not None:
             u = u * lk
         p32 = lp.astype(jnp.float32) - lr * u
+        leaf_seed = seed + jnp.uint32(i) * _P2 + count * _P3
         if lp.dtype == jnp.bfloat16:
-            leaf_seed = seed + jnp.uint32(i) * _P2 + count * _P3
             new_p.append(sr_bf16(p32, leaf_seed))
         else:
             new_p.append(p32.astype(lp.dtype))
-        new_m.append(m32.astype(lm.dtype))
-        new_v.append(v32.astype(lv.dtype))
+        new_m.append(
+            q8_encode_m(m32, leaf_seed * _P1 + jnp.uint32(0x9E3779B9))
+            if _is_q8(lm) else m32.astype(lm.dtype)
+        )
+        new_v.append(
+            q8_encode_v(v32, leaf_seed * _P3 + jnp.uint32(0x85EBCA77))
+            if _is_q8(lv) else v32.astype(lv.dtype)
+        )
     unflat = lambda ls: jax.tree.unflatten(treedef, ls)
     return unflat(new_p), (unflat(new_m), unflat(new_v), count)

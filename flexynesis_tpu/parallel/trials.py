@@ -256,7 +256,9 @@ def vmapped_grid_fit(
         from ..ops.sr_adam import cast_stacked_params_for_sr, sr_adam_init
 
         params = cast_stacked_params_for_sr(params, T)
-        opt_state = jax.vmap(sr_adam_init)(params)
+        opt_state = jax.vmap(
+            partial(sr_adam_init, moment_dtype=moment_dtype)
+        )(params)
     else:
         opt_state = jax.vmap(tx.init)(params)
     rngs = jax.vmap(jax.random.key)(jnp.asarray(np.asarray(seeds), jnp.uint32))
@@ -499,7 +501,9 @@ class ParallelTrials:
 
             K_ax = jax.tree.leaves(params)[0].shape[0]
             params = cast_stacked_params_for_sr(params, K_ax)
-            opt_state = jax.vmap(sr_adam_init)(params)
+            opt_state = jax.vmap(
+                partial(sr_adam_init, moment_dtype=self.moment_dtype)
+            )(params)
         else:
             opt_state = jax.vmap(self._tx.init)(params)
         rngs = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
