@@ -605,12 +605,14 @@ def bench_inference(gex, cnv, cls, repeats=3, stream_len=20):
     }
 
 
-def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10):
+def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10,
+                      fused=False):
     """Production-scale single DirectPred (16k-feature encoder, batch 1024):
     unlike the many-tiny-trials HPO path (HBM-bound by optimizer traffic),
     these shapes are MXU-compute-bound — this measures the framework's
     efficiency when the workload actually has FLOPs. Returns samples/s and
-    MFU vs the v5e bf16 peak."""
+    MFU vs the v5e bf16 peak. ``fused`` routes the MLP through the Pallas
+    fused Linear-BN-ReLU-Dropout kernel (config fused_kernels)."""
     from flexynesis_tpu.data.dataset import MultiOmicDataset
     from flexynesis_tpu.models.direct_pred import DirectPred
     from flexynesis_tpu.parallel.trials import ParallelTrials
@@ -629,7 +631,7 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10):
     )
     cfg = {"latent_dim": latent, "hidden_dim_factor": HIDDEN_FACTOR,
            "lr": 1e-3, "supervisor_hidden_dim": SUP_HIDDEN, "epochs": epochs,
-           "batch_size": batch}
+           "batch_size": batch, "fused_kernels": bool(fused)}
     model = DirectPred(cfg, ds, target_variables=["subtype"])
     tr = np.arange(n - batch)
     va = np.arange(n - batch, n)

@@ -180,3 +180,56 @@ class TestDifferentiableMMD:
         res = model.fit(train_ds, np.arange(48), np.arange(48, 60),
                         lr=0.01, batch_size=32, max_epochs=8)
         assert np.isfinite(res.val_loss)
+
+
+class TestVMEMFallback:
+    """Shapes whose blocks exceed the kernel's VMEM budget (production-
+    scale single models) must fall back to identical unfused math instead
+    of dying in the Mosaic compiler with a scoped-vmem OOM."""
+
+    def test_large_shape_forward_matches_reference(self, rng):
+        from flexynesis_tpu.ops.pallas.fused_linear import _exceeds_vmem
+
+        B, F, H = 1024, 4096, 256
+        assert _exceeds_vmem(B, F, min(256, H))  # takes the fallback path
+        x = rng.normal(size=(B, F)).astype(np.float32) * 0.05
+        w = (rng.normal(size=(F, H)) * 0.02).astype(np.float32)
+        b = rng.normal(size=H).astype(np.float32)
+        gamma = rng.normal(size=H).astype(np.float32) * 0.5 + 1.0
+        beta = rng.normal(size=H).astype(np.float32) * 0.1
+        y, mu, var = fused_linear_bn_relu(
+            jnp.array(x), jnp.array(w), jnp.array(b),
+            jnp.array(gamma), jnp.array(beta), 0, 1e-5, 0.0,
+        )
+        y_ref, _, mu_ref, var_ref = reference_block(x, w, b, gamma, beta)
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(var), var_ref, rtol=1e-3, atol=1e-3)
+        # gradients flow through the fallback (custom VJP backward is
+        # shape-agnostic pure XLA)
+        g = jax.grad(
+            lambda w_: jnp.sum(
+                fused_linear_bn_relu(
+                    jnp.array(x), w_, jnp.array(b), jnp.array(gamma),
+                    jnp.array(beta), 0, 1e-5, 0.0,
+                )[0]
+            )
+        )(jnp.array(w))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_large_shape_eval_matches_reference(self, rng):
+        B, F, H = 1024, 4096, 256
+        x = rng.normal(size=(B, F)).astype(np.float32) * 0.05
+        w = (rng.normal(size=(F, H)) * 0.02).astype(np.float32)
+        b = rng.normal(size=H).astype(np.float32)
+        gamma = np.ones(H, np.float32)
+        beta = np.zeros(H, np.float32)
+        rm = rng.normal(size=H).astype(np.float32) * 0.1
+        rv = np.abs(rng.normal(size=H)).astype(np.float32) + 0.5
+        y = fused_linear_bn_relu_eval(
+            jnp.array(x), jnp.array(w), jnp.array(b), jnp.array(gamma),
+            jnp.array(beta), jnp.array(rm), jnp.array(rv),
+        )
+        h = x @ w + b
+        y_ref = np.maximum((h - rm) / np.sqrt(rv + 1e-5) * gamma + beta, 0.0)
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
