@@ -259,11 +259,19 @@ class BaseModel:
         predict/transform/attribution all route through this (jitted, with
         params/stats/x/extra as arguments). Subclasses customizing eval
         behavior override THIS (plus ``_eval_extra_args`` for any array
-        operands), not ``_apply``."""
-        return self.module.apply(
-            {"params": params, "batch_stats": batch_stats},
-            x, *extra, train=False,
-        )
+        operands), not ``_apply``.
+
+        Matmuls run at bfloat16 precision like the training path — the
+        reference sets torch.set_float32_matmul_precision("medium")
+        GLOBALLY (main.py:24), so its inference shares the reduced-
+        precision policy; full-f32 MXU passes would be ~3x slower for a
+        precision the reference never delivers. (No-op on CPU backends —
+        parity tests stay exact f32.)"""
+        with jax.default_matmul_precision("bfloat16"):
+            return self.module.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, *extra, train=False,
+            )
 
     def _jitted_eval(self):
         """Cached jitted eval forward: params/stats/x are jit ARGUMENTS.
