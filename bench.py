@@ -37,8 +37,8 @@ remaining weight/moment/grad traffic that dominates, which is why the
 perf lever here is trial fan-out (K) + state compression, not kernel
 fusion. MFU is reported for reference but is not the binding
 constraint at HPO shapes: the same training pipeline at production scale
-(16k-feature encoder, batch 1024 — bench_large_model) measures 44-64% MFU
-(~177-255k samples/s across tunnel-contention conditions; driver-captured
+(16k-feature encoder, batch 1024 — bench_large_model) measures 44-72% MFU
+(~177-290k samples/s across tunnel-contention conditions; driver-captured
 in BENCH_r03), i.e. the low HPO-path MFU is a property of the tiny
 per-trial workload, not of the framework.
 """
