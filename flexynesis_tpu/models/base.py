@@ -259,19 +259,14 @@ class BaseModel:
         predict/transform/attribution all route through this (jitted, with
         params/stats/x/extra as arguments). Subclasses customizing eval
         behavior override THIS (plus ``_eval_extra_args`` for any array
-        operands), not ``_apply``.
-
-        Matmuls run at bfloat16 precision like the training path — the
-        reference sets torch.set_float32_matmul_precision("medium")
-        GLOBALLY (main.py:24), so its inference shares the reduced-
-        precision policy; full-f32 MXU passes would be ~3x slower for a
-        precision the reference never delivers. (No-op on CPU backends —
-        parity tests stay exact f32.)"""
-        with jax.default_matmul_precision("bfloat16"):
-            return self.module.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x, *extra, train=False,
-            )
+        operands), not ``_apply``. The bf16 matmul-precision policy is NOT
+        applied here but at the non-overridable program entry points
+        (``_jitted_eval`` / ``_attribution_forward``) so overrides keep it
+        automatically."""
+        return self.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, *extra, train=False,
+        )
 
     def _jitted_eval(self):
         """Cached jitted eval forward: params/stats/x are jit ARGUMENTS.
@@ -279,12 +274,21 @@ class BaseModel:
         An unjitted module.apply dispatches op-by-op — on the TPU tunnel
         that is one RPC per op — and a per-call jitted closure over params
         would both re-trace every call and inline the parameters into the
-        HLO (HTTP 413 at production sizes)."""
+        HLO (HTTP 413 at production sizes).
+
+        Matmuls run at bfloat16 precision like the training path — the
+        reference sets torch.set_float32_matmul_precision("medium")
+        GLOBALLY (main.py:24), so its inference shares the reduced-
+        precision policy; full-f32 MXU passes would be ~3x slower for a
+        precision the reference never delivers. (No-op on CPU backends —
+        parity tests stay exact f32.) Applied HERE, not in ``_eval_apply``,
+        so subclass overrides of the hook keep the policy."""
         if getattr(self, "_eval_jit", None) is None:
 
             @jax.jit
             def run(params, batch_stats, x, *extra):
-                return self._eval_apply(params, batch_stats, x, *extra)
+                with jax.default_matmul_precision("bfloat16"):
+                    return self._eval_apply(params, batch_stats, x, *extra)
 
             self._eval_jit = run
         return self._eval_jit
@@ -359,8 +363,11 @@ class BaseModel:
 
         Routes through ``_eval_apply`` so the eval/attribution contracts
         cannot drift; ``extra`` carries ``_eval_extra_args()`` operands as
-        jit arguments (GNN adjacency — see _eval_extra_args)."""
-        out = self._eval_apply(params, batch_stats, x, *extra)
+        jit arguments (GNN adjacency — see _eval_extra_args). Applies the
+        same bf16 matmul-precision policy as ``_jitted_eval`` (this is the
+        root the jitted attribution programs trace through)."""
+        with jax.default_matmul_precision("bfloat16"):
+            out = self._eval_apply(params, batch_stats, x, *extra)
         return out["outputs"][target_var]
 
     def compute_feature_importance(

@@ -90,6 +90,9 @@ def main():
             "best_val_loss_median": float(np.median(losses[moments])),
             "best_val_loss_min": float(np.min(losses[moments])),
         }
+        # stream each arm as it lands so a later crash/kill (or a
+        # single-arm Q8_ARMS run) never discards a multi-minute measurement
+        print(json.dumps({moments: out[moments]}), flush=True)
         # both K=512 arms cannot be HBM-resident at once (the first arm's
         # engine + stacked state would OOM the second's compile)
         import gc
@@ -97,17 +100,19 @@ def main():
         del model, pt, r, run
         gc.collect()
 
-    a, b = losses[arms[0]], losses[arms[1]]
-    ra, rb = np.argsort(np.argsort(a)), np.argsort(np.argsort(b))
-    spearman = float(np.corrcoef(ra, rb)[0, 1])
-    out[f"speedup_{arms[1]}_vs_{arms[0]}"] = round(
-        out[arms[1]]["trials_per_hour"] / out[arms[0]]["trials_per_hour"], 3
-    )
-    out["val_loss_median_delta"] = float(np.median(b) - np.median(a))
-    out["lr_ranking_spearman"] = round(spearman, 4)
-    out["top16_overlap"] = int(
-        len(set(np.argsort(a)[:16]) & set(np.argsort(b)[:16]))
-    )
+    if len(arms) >= 2:  # cross-arm fidelity only when two arms were run
+        a, b = losses[arms[0]], losses[arms[1]]
+        ra, rb = np.argsort(np.argsort(a)), np.argsort(np.argsort(b))
+        spearman = float(np.corrcoef(ra, rb)[0, 1])
+        out[f"speedup_{arms[1]}_vs_{arms[0]}"] = round(
+            out[arms[1]]["trials_per_hour"] / out[arms[0]]["trials_per_hour"],
+            3,
+        )
+        out["val_loss_median_delta"] = float(np.median(b) - np.median(a))
+        out["lr_ranking_spearman"] = round(spearman, 4)
+        out["top16_overlap"] = int(
+            len(set(np.argsort(a)[:16]) & set(np.argsort(b)[:16]))
+        )
     print(json.dumps(out))
 
 
