@@ -14,7 +14,8 @@ Ours: K trials trained concurrently via vmap (parallel/trials.py) on the
 TPU chip. Scale: n=2000 samples, gex=2000 + cnv=1000 features (post-
 feature-selection BRCA-like), latent 64. The budget run measures the
 known-best K=512 (see K_SWEEP comment for the recorded full curve and the
-env flags that re-measure it); K=768 exhausts v5e HBM.
+env flags that re-measure it); K=640 already exhausts v5e HBM (measured
+RESOURCE_EXHAUSTED 2026-08-17), so 512 is the single-chip ceiling.
 
 Roofline accounting (v5e: 197 bf16 TFLOP/s, 819 GB/s HBM): this workload
 is HBM-bound, not MXU-bound. Per trial-step at batch 64 with float32
