@@ -757,7 +757,10 @@ _SECTION_EST_S = {
     "large": 55,
     "vae": 75,
     "gnn": 45,
-    "finetuner": 75,
+    # measured section cost is ~35-45s (4-10s grid + one ~30s tunnel
+    # compile); 75 was conservative enough to skip it on runs that still
+    # had room (2026-08-17: skipped with 34.2s remaining)
+    "finetuner": 45,
     "gp": 5,
     "e2e": 75,
     "ingestion": 8,
@@ -889,9 +892,16 @@ def bench_gp_overhead(histories=(100, 300), q=64):
 
 def bench_ingestion(n_rows=5000, n_cols=1000):
     """Native fastcsv vs pandas on a float matrix (the startup ingestion
-    hot path the C++ parser replaces — reference data.py:286). Sized so
-    writing the fixture CSV doesn't dominate the section (the ratio is
-    scale-invariant: 1.16-1.20x measured at 20k x 2k standalone)."""
+    hot path the C++ parser replaces — reference data.py:286).
+
+    os.sync() after writing the fixture: kernel writeback of the
+    just-written ~90 MB file intermittently stalls the mmap reader's page
+    faults (measured 0.25s vs 3.5-4.7s bimodal without the sync — the
+    parser itself is steady), and real ingestion reads files the user
+    wrote long ago. Best-of-2 per arm guards residual scheduler noise.
+    Synced, native measures ~3x pandas at this shape on this 1-core
+    container (pandas' C parser is single-threaded; on multi-core hosts
+    the gap widens)."""
     import tempfile
 
     import pandas as pd
@@ -907,19 +917,23 @@ def bench_ingestion(n_rows=5000, n_cols=1000):
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "m.csv")
         df.to_csv(path)
+        os.sync()  # see docstring: writeback stalls the mmap reader
         if fastcsv._ensure_built() is None:
             return {"error": "native fastcsv unavailable"}
-        t0 = time.perf_counter()
-        a = fastcsv.read_matrix_csv(path, fallback=False)
-        native_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        b = pd.read_csv(path, index_col=0)
-        pandas_s = time.perf_counter() - t0
-        assert a.shape == b.shape
+        native_s, pandas_s = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            a = fastcsv.read_matrix_csv(path, fallback=False)
+            native_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            b = pd.read_csv(path, index_col=0)
+            pandas_s.append(time.perf_counter() - t0)
+            assert a.shape == b.shape
+    native, pandas_w = float(np.min(native_s)), float(np.min(pandas_s))
     return {
-        "native_s": round(native_s, 3),
-        "pandas_s": round(pandas_s, 3),
-        "speedup": round(pandas_s / native_s, 2),
+        "native_s": round(native, 3),
+        "pandas_s": round(pandas_w, 3),
+        "speedup": round(pandas_w / native, 2),
         "shape": [n_rows, n_cols],
     }
 
@@ -1108,11 +1122,11 @@ def _main_body(budget_s: float):
     run_section("large_single_model", "large", bench_large_model)
     run_section("supervised_vae", "vae", bench_vae)
     run_section("gnn", "gnn", bench_gnn)
-    run_section("finetuner", "finetuner",
-                lambda: bench_finetuner(gex, cnv, cls))
-
     # computed sequential e2e (engine rate + host GP cost serialized) —
-    # kept as the comparison point for the MEASURED pipelined loop above
+    # kept as the comparison point for the MEASURED pipelined loop above.
+    # Computed BEFORE the last section: finetuner may legitimately start
+    # near the deadline (its estimate is optimistic since nothing follows
+    # it) and a mid-section kill must not drop this derived field.
     gp = extras.get("gp_overhead", {})
     gp_ms = gp.get("ms_per_suggestion_hist100")
     if gp_ms is not None and best_tph:
@@ -1120,6 +1134,11 @@ def _main_body(budget_s: float):
         extras["e2e_trials_per_hour_incl_gp"] = round(
             3600e3 / (engine_ms + gp_ms), 1
         )
+    extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+    _write_snapshot(result)
+
+    run_section("finetuner", "finetuner",
+                lambda: bench_finetuner(gex, cnv, cls))
 
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)
