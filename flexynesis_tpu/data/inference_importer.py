@@ -99,7 +99,15 @@ class DataImporterInference:
             samples = [s for s in samples if s in common]
             mats = {m: df.loc[samples] for m, df in mats.items()}
 
-        if "covariates" in self.modalities and labels_df is not None:
+        # Rebuild covariates when the training run used them — including
+        # under early fusion, where the TRAINING importer concatenates the
+        # covariate block into 'all' (importer.py:386-396; the reference
+        # instead silently drops covariates from its early-fusion concat,
+        # reference data.py:233-257 — a deviation we do not reproduce).
+        needs_covariates = "covariates" in self.modalities or (
+            early_fusion and bool(self.artifacts.get("covariate_vars"))
+        )
+        if needs_covariates and labels_df is not None:
             cov_vars = self.artifacts.get("covariate_vars", [])
             if cov_vars:
                 if self.verbose:
@@ -107,6 +115,36 @@ class DataImporterInference:
                 cov = create_covariate_matrix(
                     cov_vars, get_variable_types(labels_df), labels_df
                 ).T  # -> samples x features
+                # Reindex against the TRAINING covariate columns: the test
+                # clin.csv may lack category levels seen in training (or
+                # carry new ones), and one-hot columns must align
+                # positionally with the trained input width. Missing
+                # training columns zero-fill (the one-hot "level absent"
+                # encoding); unseen test levels are dropped.
+                if early_fusion:
+                    omics_feats = set(
+                        chain(*[
+                            list(self.scalers[m].feature_names_in_)
+                            for m in to_load
+                        ])
+                    )
+                    train_cov_cols = [
+                        f for f in self.feature_names["all"]
+                        if f not in omics_feats
+                    ]
+                else:
+                    train_cov_cols = list(
+                        self.feature_names.get("covariates", cov.columns)
+                    )
+                dropped = [c for c in cov.columns if c not in set(train_cov_cols)]
+                filled = [c for c in train_cov_cols if c not in set(cov.columns)]
+                if (dropped or filled) and self.verbose:
+                    print(
+                        f"[INFO] covariates: aligning to training columns "
+                        f"({len(filled)} zero-filled, {len(dropped)} unseen "
+                        "test levels dropped)"
+                    )
+                cov = cov.reindex(columns=train_cov_cols, fill_value=0.0)
                 if samples is None:
                     samples = cov.index.tolist()
                 mats["covariates"] = cov
@@ -143,6 +181,8 @@ class DataImporterInference:
             features = {
                 m: list(self.scalers[m].feature_names_in_) for m in to_load
             }
+            if "covariates" in mats:
+                features["covariates"] = list(mats["covariates"].columns)
         else:
             features = {
                 m: list(self.feature_names[m])
@@ -150,7 +190,13 @@ class DataImporterInference:
                 if m in self.feature_names
             }
 
-        ordered = [m for m in (to_load if early_fusion else self.modalities) if m in mats]
+        ordered = [
+            m
+            for m in (
+                to_load + ["covariates"] if early_fusion else self.modalities
+            )
+            if m in mats
+        ]
         dat = {
             m: np.ascontiguousarray(mats[m].values, dtype=np.float32)
             for m in ordered
@@ -167,10 +213,26 @@ class DataImporterInference:
 
         if early_fusion:
             order = list(self.artifacts.get("original_modalities", ordered))
+            # training concat order: data_types first, then the covariate
+            # block appended (importer.py:388-391 order + extras)
+            if "covariates" in dat and "covariates" not in order:
+                order.append("covariates")
             concat = np.concatenate([dat[m] for m in order], axis=1)
             all_feats = list(chain(*[features[m] for m in order]))
-            expected_all = set(self.feature_names["all"])
+            expected_list = list(self.feature_names["all"])
+            expected_all = set(expected_list)
             keep = [i for i, f in enumerate(all_feats) if f in expected_all]
+            kept_feats = [all_feats[i] for i in keep]
+            if kept_feats != expected_list:
+                missing = sorted(expected_all - set(kept_feats))
+                raise ValueError(
+                    "Early-fusion inference: test features do not "
+                    f"reproduce the trained 'all' block ({len(missing)} "
+                    f"trained features unmatched, e.g. {missing[:5]}). "
+                    "Check that the test folder carries every training "
+                    "modality (and clinical covariates, if trained with "
+                    "--covariates)."
+                )
             dataset.dat = {"all": concat[:, keep]}
-            dataset.features = {"all": [all_feats[i] for i in keep]}
+            dataset.features = {"all": kept_feats}
         return dataset

@@ -100,10 +100,14 @@ def save_model(model, path: str) -> str:
     return path
 
 
-def load_weights(path: str):
-    from safetensors.numpy import load_file
+def load_weights(path: str, flat: dict = None):
+    """``flat`` short-circuits the file read when the caller already
+    deserialized the safetensors dict (GNN reconstruction reads it for the
+    embedded graph first)."""
+    if flat is None:
+        from safetensors.numpy import load_file
 
-    flat = load_file(path)
+        flat = load_file(path)
     params = _unflatten_pytree(
         {k[len("params/"):]: v for k, v in flat.items() if k.startswith("params/")}
     )
@@ -135,6 +139,7 @@ def save_model_config(model, path: str) -> str:
         "output_dims",
         "use_loss_weighting",
         "gnn_conv_type",
+        "batch_variables",
     ):
         if hasattr(model, attr):
             config[attr] = getattr(model, attr)
@@ -370,7 +375,6 @@ def _deserialize_json_artifacts(raw: dict) -> dict:
 def build_dataset_namespace(config: dict, artifacts: dict) -> SimpleNamespace:
     """Fake dataset carrying just what model __init__ needs
     (reference inference.py:73-122)."""
-    layers = config.get("layers") or config.get("input_layers") or []
     feature_lists = artifacts.get("feature_lists", {})
     variable_types = config.get("variable_types", {})
     output_dims = config.get("output_dims", {})
@@ -425,6 +429,11 @@ def reconstruct_model(weights_path: str, config_path: str, artifacts) -> object:
             "node_embedding_dim",
             "num_convs",
             "activation",
+            # architecture-bearing extras: a GNN trained with a pooled
+            # readout (or a model with the fused Pallas blocks) must
+            # rebuild the same module or the loaded params won't match
+            "gnn_readout",
+            "fused_kernels",
         )
         if k in config
     }
@@ -440,10 +449,12 @@ def reconstruct_model(weights_path: str, config_path: str, artifacts) -> object:
         surv_time_var=config.get("surv_time_var"),
         use_loss_weighting=config.get("use_loss_weighting", True),
         device_type=config.get("device_type"),
+        batch_variables=config.get("batch_variables"),
     )
     if cls_name == "CrossModalPred":
         kwargs["input_layers"] = config.get("input_layers")
         kwargs["output_layers"] = config.get("output_layers")
+    flat = None
     if cls_name == "GNN":
         from safetensors.numpy import load_file
 
@@ -463,7 +474,7 @@ def reconstruct_model(weights_path: str, config_path: str, artifacts) -> object:
         }
         kwargs["gnn_conv_type"] = config.get("gnn_conv_type", "GC")
     model = model_cls(**kwargs)
-    params, batch_stats = load_weights(weights_path)
+    params, batch_stats = load_weights(weights_path, flat=flat)
     model.params = params
     model.batch_stats = batch_stats
     return model

@@ -91,7 +91,7 @@ class FineTuner:
             early_stop_patience=self.early_stop_patience,
             rng=jax.random.key(self.seed),
         )
-        return res.val_loss, res.params, res.batch_stats
+        return res.val_loss, res.params, res.batch_stats, res.epochs_run
 
     def run_experiments(self, parallel: bool = True):
         """Grid-search (lr x freeze) with k-fold CV, then final full fit.
@@ -116,30 +116,46 @@ class FineTuner:
         else:
             best = self._grid_sequential(n, k)
 
-        _, lr, freeze = best
-        print(f"[INFO] Final fine-tuning with lr={lr:.2g}, freeze={freeze}")
+        _, lr, freeze, final_epochs = best
+        # the final full-data fit has no validation split, so no early
+        # stopping can fire: cap it at the winning cell's CV-averaged
+        # early-stop epoch count like the reference (main.py:647-659) —
+        # grinding through all max_epochs would overfit the tiny
+        # fine-tuning cohort the winner was selected on
+        final_epochs = max(1, int(round(final_epochs)))
+        print(
+            f"[INFO] Final fine-tuning with lr={lr:.2g}, freeze={freeze}, "
+            f"epochs={final_epochs}"
+        )
         all_idx = np.arange(n)
-        _, params, stats = self._fit_once(lr, freeze, all_idx, None)
+        saved_max = self.max_epochs
+        self.max_epochs = final_epochs
+        try:
+            _, params, stats, _ = self._fit_once(lr, freeze, all_idx, None)
+        finally:
+            self.max_epochs = saved_max
         self.model.params = params
         self.model.batch_stats = stats
         return self.model
 
     def _grid_sequential(self, n: int, k: int):
         folds = kfold_indices(n, k, seed=self.seed)
-        best: Optional[Tuple[float, float, Dict[str, bool]]] = None
+        best: Optional[Tuple[float, float, Dict[str, bool], float]] = None
         for lr in self.learning_rates:
             for freeze in FREEZE_CONFIGS:
-                losses = []
+                losses, epochs = [], []
                 for tr, va in folds:
-                    loss, _, _ = self._fit_once(lr, freeze, tr, va)
+                    loss, _, _, n_ep = self._fit_once(lr, freeze, tr, va)
                     losses.append(loss)
+                    epochs.append(n_ep)
                 avg = float(np.mean(losses))
+                avg_ep = float(np.mean(epochs))
                 print(
                     f"[INFO] finetune lr={lr:.2g} freeze={freeze}: "
-                    f"avg val loss {avg:.4f}"
+                    f"avg val loss {avg:.4f} (avg epochs {avg_ep:.1f})"
                 )
                 if best is None or avg < best[0]:
-                    best = (avg, lr, freeze)
+                    best = (avg, lr, freeze, avg_ep)
         return best
 
     def _grid_parallel(self, n: int, k: int):
@@ -189,11 +205,17 @@ class FineTuner:
             mesh=mesh,
         )
         per_combo = out["best_val_loss"].reshape(len(combos), k).mean(axis=1)
-        for (lr, freeze), avg in zip(combos, per_combo):
+        # best_epoch is the epoch that achieved each fold's best val loss;
+        # its CV mean plays the reference's avg-early-stop-epochs role for
+        # the final fit cap (main.py:625-659)
+        per_combo_ep = (
+            np.asarray(out["best_epoch"]).reshape(len(combos), k).mean(axis=1)
+        )
+        for (lr, freeze), avg, avg_ep in zip(combos, per_combo, per_combo_ep):
             print(
                 f"[INFO] finetune lr={lr:.2g} freeze={freeze}: "
-                f"avg val loss {avg:.4f}"
+                f"avg val loss {avg:.4f} (avg best epoch {avg_ep:.1f})"
             )
         bi = int(np.argmin(per_combo))
         lr, freeze = combos[bi]
-        return float(per_combo[bi]), lr, freeze
+        return float(per_combo[bi]), lr, freeze, float(per_combo_ep[bi])

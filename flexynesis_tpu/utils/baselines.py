@@ -46,6 +46,12 @@ def _prepare_xy(dataset, variable_name, use_pca=False, pca_model=None, fit_pca=F
     X = np.concatenate([m for m in dataset.dat.values()], axis=1)
     y = np.asarray(dataset.ann[variable_name], dtype=np.float64)
     valid = ~np.isnan(y)
+    if dataset.variable_types.get(variable_name) == "categorical":
+        # -1 encodes a missing/unknown label (importer.encode_labels,
+        # inference re-encoding); metrics.evaluate_wrapper masks it the
+        # same way — keeping it would deflate balanced_acc/kappa and
+        # KeyError in get_predicted_labels' label_mappings lookup
+        valid &= y != -1
     X, y = X[valid], y[valid]
     if use_pca and pca_model is not None:
         if fit_pca:

@@ -114,7 +114,8 @@ def remove_batch_associated_variables(
             )
             mi = mi_fn(data[ok], batch[ok])
             important -= set(data.columns[mi > mi_threshold])
-    return data[list(important)]
+    # deterministic column order (set iteration order varies per process)
+    return data[[c for c in data.columns if c in important]]
 
 
 def generate_synthetic_batches(

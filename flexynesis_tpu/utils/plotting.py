@@ -28,8 +28,12 @@ from .survival import KaplanMeier, multivariate_logrank_test
 
 
 def get_color_mapping(labels):
-    """Stable label -> color mapping over tab20."""
-    uniq = [u for u in pd.unique(pd.Series(labels)) if not pd.isna(u)]
+    """Stable label -> color mapping over tab20.
+
+    NaN labels map to the "NA" category like the reference
+    (utils.py:73-113 fillna('NA')) — unlabeled samples stay visible in
+    categorical plots instead of silently vanishing."""
+    uniq = pd.unique(pd.Series(labels).fillna("NA"))
     cmap = plt.get_cmap("tab20")
     return {lb: cmap(i % 20) for i, lb in enumerate(uniq)}
 
@@ -70,7 +74,7 @@ def plot_dim_reduced(
         raise ValueError(f"Unknown method: {method}")
 
     fig, ax = plt.subplots(figsize=(7, 6))
-    labels = pd.Series(np.asarray(labels, dtype=object))
+    labels = pd.Series(np.asarray(labels, dtype=object)).fillna("NA")
     kwargs = dict(s=18, alpha=0.8)
     kwargs.update(scatter_kwargs or {})
     if color_type == "categorical":
@@ -93,7 +97,9 @@ def plot_kaplan_meier_curves(durations, events, categorical_variable, title=None
     """Per-group KM curves + multivariate log-rank p-value annotation."""
     durations = np.asarray(durations, dtype=float)
     events = np.asarray(events, dtype=float)
-    groups = pd.Series(np.asarray(categorical_variable, dtype=object))
+    # NaN-labeled samples become the "NA" group, so the plotted curves and
+    # the annotated log-rank test cover the same groups
+    groups = pd.Series(np.asarray(categorical_variable, dtype=object)).fillna("NA")
 
     fig, ax = plt.subplots(figsize=(7, 6))
     colors = get_color_mapping(groups)

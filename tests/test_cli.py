@@ -126,9 +126,28 @@ class TestCLITrainInfer:
             "--safetensors",
         ])
         assert rc == 0
-        # early fusion + covariates -> layers ['all', 'covariates']
+        # training concatenates the covariate block into 'all'
+        # (importer.py order + extras); config layers reflect the fusion
         cfg = json.load(open(os.path.join(outdir, "job.final_model_config.json")))
         assert "all" in cfg["layers"]
+
+        # inference reload: the covariate block must be REBUILT from the
+        # test clin.csv and re-concatenated (regression: the early-fusion
+        # path previously skipped the covariates rebuild entirely,
+        # producing a too-narrow input matrix)
+        rc = main([
+            "--pretrained_model", os.path.join(outdir, "job.final_model.safetensors"),
+            "--artifacts", os.path.join(outdir, "job.artifacts.json"),
+            "--data_path_test", os.path.join(data_path, "test"),
+            "--outdir", str(tmp_path / "fusion_inf"),
+            "--prefix", "inf",
+            "--disable_marker_finding",
+        ])
+        assert rc == 0
+        preds = pd.read_csv(
+            os.path.join(str(tmp_path / "fusion_inf"), "inf.predicted_labels.csv")
+        )
+        assert len(preds) > 0
 
     def test_crossmodal(self, data_path, tmp_path):
         outdir = str(tmp_path / "xm")

@@ -1,0 +1,233 @@
+"""Regression tests for the round-3 periphery review findings.
+
+Covers: baselines' missing-label (-1) filtering, inference reconstruction
+of architecture-bearing config extras (gnn_readout) and batch_variables,
+covariate reindexing against the trained one-hot columns at inference, and
+the fine-tuner's final-fit epoch cap (reference main.py:625-659).
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flexynesis_tpu.data.dataset import MultiOmicDataset, MultiOmicDatasetNW
+from flexynesis_tpu.data.importer import DataImporter
+from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+CFG = {
+    "latent_dim": 16,
+    "hidden_dim_factor": 0.3,
+    "lr": 0.01,
+    "supervisor_hidden_dim": 8,
+    "epochs": 10,
+    "batch_size": 32,
+}
+
+
+@pytest.fixture(scope="module")
+def datasets(tmp_path_factory):
+    p = tmp_path_factory.mktemp("rvfix")
+    write_synthetic_folder(str(p), n_train=100, n_test=50, seed=13)
+    imp = DataImporter(str(p), ["gex", "cnv"], top_percentile=50, min_features=20)
+    return imp.import_data()
+
+
+def test_baselines_drop_unknown_categorical_labels():
+    """-1 encodes a missing label (importer/inference convention): the
+    baseline X/y extraction must drop those rows like evaluate_wrapper."""
+    from flexynesis_tpu.utils.baselines import _prepare_xy
+
+    ds = MultiOmicDataset(
+        dat={"gex": np.random.default_rng(0).normal(size=(10, 4)).astype(np.float32)},
+        ann={
+            "subtype": np.array([0, 1, -1, 0, 1, -1, 0, 1, 0, 1], np.float32),
+            "age": np.array([1, 2, -1, 4, 5, 6, 7, 8, 9, 10], np.float32),
+        },
+        variable_types={"subtype": "categorical", "age": "numerical"},
+        features={"gex": [f"g{i}" for i in range(4)]},
+        samples=[f"S{i}" for i in range(10)],
+        label_mappings={"subtype": {0: "a", 1: "b"}},
+    )
+    X, y, idx = _prepare_xy(ds, "subtype")
+    assert len(y) == 8 and (y >= 0).all()
+    assert len(idx) == 8
+    # numerical variables keep -1 (a legitimate value there)
+    _, y_num, _ = _prepare_xy(ds, "age")
+    assert len(y_num) == 10
+
+
+class TestReconstructExtras:
+    def test_batch_variables_round_trip(self, tmp_path):
+        """A model trained with batch_variables must reconstruct with its
+        batch heads (previously silently dropped: the rebuilt module and
+        the loaded params disagreed)."""
+        from flexynesis_tpu.inference import (
+            reconstruct_model,
+            save_model,
+            save_model_config,
+        )
+        from flexynesis_tpu.models.direct_pred import DirectPred
+        from flexynesis_tpu.train.trainer import train_val_split
+
+        rng = np.random.default_rng(2)
+        n = 48
+        train_ds = MultiOmicDataset(
+            dat={"gex": rng.normal(size=(n, 8)).astype(np.float32)},
+            ann={
+                "subtype": rng.integers(0, 3, n).astype(np.float32),
+                "batch": rng.integers(0, 2, n).astype(np.float32),
+            },
+            variable_types={"subtype": "categorical", "batch": "categorical"},
+            features={"gex": [f"g{i}" for i in range(8)]},
+            samples=[f"S{i}" for i in range(n)],
+            label_mappings={
+                "subtype": {i: f"grp{i}" for i in range(3)},
+                "batch": {0: "b0", 1: "b1"},
+            },
+        )
+        model = DirectPred(
+            CFG, train_ds, target_variables=["subtype"],
+            batch_variables=["batch"],
+        )
+        tr, va = train_val_split(n, 0.2)
+        model.fit(train_ds, tr, va, lr=0.01, batch_size=16, max_epochs=3,
+                  early_stop_patience=-1)
+        assert "batch" in model.variables
+        wp = str(tmp_path / "m.final_model.safetensors")
+        cp = str(tmp_path / "m.final_model_config.json")
+        save_model(model, wp)
+        save_model_config(model, cp)
+        assert json.load(open(cp))["batch_variables"] == ["batch"]
+
+        artifacts = {"feature_lists": dict(train_ds.features), "label_encoders": {}}
+        m2 = reconstruct_model(wp, cp, artifacts)
+        assert m2.batch_variables == ["batch"]
+        assert "batch" in m2.variables
+        # loaded params carry head_batch and the module accepts them
+        preds = m2.predict(train_ds)
+        np.testing.assert_allclose(
+            preds["subtype"], model.predict(train_ds)["subtype"], rtol=1e-5
+        )
+
+    def test_gnn_readout_round_trip(self, datasets, tmp_path):
+        """gnn_readout='mean' changes the head architecture; reconstruction
+        must rebuild the pooled head (previously fell back to 'flatten' and
+        the params no longer matched the module)."""
+        from flexynesis_tpu.inference import (
+            reconstruct_model,
+            save_model,
+            save_model_config,
+        )
+        from flexynesis_tpu.models.gnn import GNN
+        from flexynesis_tpu.train.trainer import train_val_split
+
+        train_ds, _ = datasets
+        rng = np.random.default_rng(0)
+        genes = list(train_ds.features["gex"]) + list(train_ds.features["cnv"])
+        edges = pd.DataFrame({
+            "protein1": rng.choice(genes, 200),
+            "protein2": rng.choice(genes, 200),
+            "score": rng.random(200),
+        })
+        nw = MultiOmicDatasetNW(train_ds, edges)
+        cfg = dict(CFG, node_embedding_dim=4, num_convs=1,
+                   activation="relu", gnn_readout="mean")
+        model = GNN(cfg, nw, target_variables=["subtype"])
+        tr, va = train_val_split(len(train_ds), 0.2)
+        model.fit(nw, tr, va, lr=0.01, batch_size=32, max_epochs=2,
+                  early_stop_patience=-1)
+        wp = str(tmp_path / "g.final_model.safetensors")
+        cp = str(tmp_path / "g.final_model_config.json")
+        save_model(model, wp)
+        save_model_config(model, cp)
+
+        m2 = reconstruct_model(wp, cp, {"feature_lists": {}, "label_encoders": {}})
+        assert m2.config.get("gnn_readout") == "mean"
+        preds = m2.predict(nw)
+        np.testing.assert_allclose(
+            preds["subtype"], model.predict(nw)["subtype"], rtol=1e-5
+        )
+
+
+def test_inference_covariates_reindexed_to_training_columns(tmp_path):
+    """The test clin.csv lacks a category level seen in training: the
+    rebuilt one-hot block must align to the TRAINING columns (zero-filled)
+    instead of shrinking the model input."""
+    from sklearn.preprocessing import OrdinalEncoder, StandardScaler
+
+    from flexynesis_tpu.data.inference_importer import DataImporterInference
+
+    feats = ["f0", "f1", "f2"]
+    train_gex = pd.DataFrame(
+        np.random.default_rng(0).normal(size=(6, 3)),
+        columns=feats,
+        index=[f"T{i}" for i in range(6)],
+    )
+    scaler = StandardScaler().fit(train_gex)
+    enc = OrdinalEncoder().fit(np.array([["I"], ["II"], ["III"]]))
+    artifacts = {
+        "data_types": ["gex", "covariates"],
+        "feature_lists": {
+            "gex": feats,
+            "covariates": ["stage_I", "stage_II", "stage_III"],
+        },
+        "transforms": {"gex": scaler},
+        "label_encoders": {"stage": enc},
+        "covariate_vars": ["stage"],
+        "target_variables": ["stage"],
+    }
+    d = tmp_path / "test_only"
+    d.mkdir()
+    samples = [f"S{i}" for i in range(4)]
+    gex = pd.DataFrame(
+        np.random.default_rng(1).normal(size=(3, 4)),
+        index=feats,
+        columns=samples,
+    )
+    gex.to_csv(d / "gex.csv")
+    # only stages I and II appear in the test cohort
+    pd.DataFrame({"stage": ["I", "II", "I", "II"]}, index=samples).to_csv(
+        d / "clin.csv"
+    )
+
+    ds = DataImporterInference(str(d), artifacts, verbose=False).import_data()
+    cov = ds.dat["covariates"]
+    assert cov.shape == (4, 3)
+    assert ds.features["covariates"] == ["stage_I", "stage_II", "stage_III"]
+    assert np.all(cov[:, 2] == 0.0)  # stage_III zero-filled
+    assert np.all(cov[:, :2].sum(axis=1) == 1.0)  # one-hot intact
+
+
+def test_finetuner_caps_final_fit_epochs(datasets):
+    """The final full-data fit (no val split -> no early stopping) must run
+    the winning cell's CV-averaged epoch count, not max_epochs (reference
+    main.py:647-659)."""
+    from flexynesis_tpu.models.direct_pred import DirectPred
+    from flexynesis_tpu.train.finetune import FineTuner
+    from flexynesis_tpu.train.trainer import train_val_split
+
+    train_ds, _ = datasets
+    model = DirectPred(CFG, train_ds, target_variables=["subtype"])
+    tr, va = train_val_split(len(train_ds), 0.2)
+    model.fit(train_ds, tr, va, lr=0.01, batch_size=32, max_epochs=2,
+              early_stop_patience=-1)
+
+    ft = FineTuner(model, train_ds, max_epochs=50)
+    seen = {}
+    orig = ft._fit_once
+
+    def spy(lr, freeze, train_idx, val_idx):
+        if val_idx is None:
+            seen["final_max_epochs"] = ft.max_epochs
+        return orig(lr, freeze, train_idx, val_idx)
+
+    ft._fit_once = spy
+    ft._grid_parallel = lambda n, k: (
+        0.1, 0.01, {"encoders": False, "supervisors": False}, 7.4,
+    )
+    ft.run_experiments(parallel=True)
+    assert seen["final_max_epochs"] == 7
+    assert ft.max_epochs == 50  # restored after the final fit
