@@ -580,10 +580,16 @@ def _run_baseline_comparison(args, train_dataset, test_dataset):
 
     frames, preds = [], []
     for var in _split(args.target_variables) or []:
-        s, p = evaluate_baseline_performance(
-            train_dataset, test_dataset, var,
-            ["RandomForest", "SVM", "XGBoost"], n_jobs=args.threads,
-        )
+        try:
+            s, p = evaluate_baseline_performance(
+                train_dataset, test_dataset, var,
+                ["RandomForest", "SVM", "XGBoost"], n_jobs=args.threads,
+            )
+        except ValueError as e:
+            # e.g. an entirely unlabeled cohort for this variable — the
+            # baseline comparison is a side output; don't abort the run
+            print(f"[WARN] Skipping baseline comparison for '{var}': {e}")
+            continue
         frames.append(s)
         preds.append(p)
     if args.surv_event_var and args.surv_time_var:

@@ -136,8 +136,23 @@ class DataImporterInference:
                     train_cov_cols = list(
                         self.feature_names.get("covariates", cov.columns)
                     )
-                dropped = [c for c in cov.columns if c not in set(train_cov_cols)]
-                filled = [c for c in train_cov_cols if c not in set(cov.columns)]
+                train_set = set(train_cov_cols)
+                cov_set = set(cov.columns)
+                dropped = [c for c in cov.columns if c not in train_set]
+                filled = [c for c in train_cov_cols if c not in cov_set]
+                if train_cov_cols and not (train_set & cov_set):
+                    # nothing survives the reindex: an all-zero covariate
+                    # block would pass the strict 'all' check below while
+                    # silently feeding garbage to the model (e.g. a
+                    # covariate inferred categorical in training but
+                    # numerical here because the test column is clean)
+                    raise ValueError(
+                        "Inference covariates: none of the rebuilt columns "
+                        f"({list(cov.columns)[:5]}...) match the trained "
+                        f"covariate columns ({train_cov_cols[:5]}...). The "
+                        "test clin.csv likely encodes the covariates with "
+                        "different types/levels than the training data."
+                    )
                 if (dropped or filled) and self.verbose:
                     print(
                         f"[INFO] covariates: aligning to training columns "
@@ -225,10 +240,28 @@ class DataImporterInference:
             kept_feats = [all_feats[i] for i in keep]
             if kept_feats != expected_list:
                 missing = sorted(expected_all - set(kept_feats))
+                if missing:
+                    detail = (
+                        f"{len(missing)} trained features unmatched, "
+                        f"e.g. {missing[:5]}"
+                    )
+                else:  # same feature set, wrong order or duplicates
+                    diff = next(
+                        (
+                            i
+                            for i, (a, b) in enumerate(zip(kept_feats, expected_list))
+                            if a != b
+                        ),
+                        min(len(kept_feats), len(expected_list)),
+                    )
+                    detail = (
+                        "features match but the order/multiplicity differs "
+                        f"(got {len(kept_feats)} vs {len(expected_list)} "
+                        f"trained; first difference at index {diff})"
+                    )
                 raise ValueError(
                     "Early-fusion inference: test features do not "
-                    f"reproduce the trained 'all' block ({len(missing)} "
-                    f"trained features unmatched, e.g. {missing[:5]}). "
+                    f"reproduce the trained 'all' block ({detail}). "
                     "Check that the test folder carries every training "
                     "modality (and clinical covariates, if trained with "
                     "--covariates)."

@@ -73,7 +73,8 @@ class FineTuner:
         freeze: Dict[str, bool],
         train_idx,
         val_idx,
-    ) -> Tuple[float, object, object]:
+        max_epochs: Optional[int] = None,
+    ) -> Tuple[float, object, object, int]:
         model = self.model
         params0 = jax.tree.map(jnp.copy, model.params)
         stats0 = jax.tree.map(jnp.copy, model.batch_stats)
@@ -87,7 +88,7 @@ class FineTuner:
             model.make_batch(self.dataset, val_idx) if val_idx is not None else None,
             n_samples=len(train_idx),
             batch_size=min(32, len(train_idx)),
-            max_epochs=self.max_epochs,
+            max_epochs=self.max_epochs if max_epochs is None else max_epochs,
             early_stop_patience=self.early_stop_patience,
             rng=jax.random.key(self.seed),
         )
@@ -128,12 +129,9 @@ class FineTuner:
             f"epochs={final_epochs}"
         )
         all_idx = np.arange(n)
-        saved_max = self.max_epochs
-        self.max_epochs = final_epochs
-        try:
-            _, params, stats, _ = self._fit_once(lr, freeze, all_idx, None)
-        finally:
-            self.max_epochs = saved_max
+        _, params, stats, _ = self._fit_once(
+            lr, freeze, all_idx, None, max_epochs=final_epochs
+        )
         self.model.params = params
         self.model.batch_stats = stats
         return self.model
@@ -205,16 +203,22 @@ class FineTuner:
             mesh=mesh,
         )
         per_combo = out["best_val_loss"].reshape(len(combos), k).mean(axis=1)
-        # best_epoch is the epoch that achieved each fold's best val loss;
-        # its CV mean plays the reference's avg-early-stop-epochs role for
-        # the final fit cap (main.py:625-659)
-        per_combo_ep = (
-            np.asarray(out["best_epoch"]).reshape(len(combos), k).mean(axis=1)
-        )
+        # early stopping in the vmapped program is global (all cells must
+        # stall), so reconstruct each cell's individual stop epoch —
+        # best_epoch + patience, capped at the epochs actually run — to
+        # match the sequential path's Trainer epochs_run and the
+        # reference's Lightning stopped_epoch (main.py:610-625)
+        epochs_run = int(out["epochs_run"])
+        stop_ep = np.asarray(out["best_epoch"], dtype=float)
+        if self.early_stop_patience > 0:
+            stop_ep = np.minimum(stop_ep + self.early_stop_patience, epochs_run)
+        else:
+            stop_ep = np.full_like(stop_ep, epochs_run)
+        per_combo_ep = stop_ep.reshape(len(combos), k).mean(axis=1)
         for (lr, freeze), avg, avg_ep in zip(combos, per_combo, per_combo_ep):
             print(
                 f"[INFO] finetune lr={lr:.2g} freeze={freeze}: "
-                f"avg val loss {avg:.4f} (avg best epoch {avg_ep:.1f})"
+                f"avg val loss {avg:.4f} (avg stop epoch {avg_ep:.1f})"
             )
         bi = int(np.argmin(per_combo))
         lr, freeze = combos[bi]

@@ -52,6 +52,12 @@ def _prepare_xy(dataset, variable_name, use_pca=False, pca_model=None, fit_pca=F
         # same way — keeping it would deflate balanced_acc/kappa and
         # KeyError in get_predicted_labels' label_mappings lookup
         valid &= y != -1
+    if not valid.any():
+        raise ValueError(
+            f"No labeled samples for '{variable_name}' after dropping "
+            "missing values — cannot fit/evaluate a baseline on an "
+            "entirely unlabeled cohort."
+        )
     X, y = X[valid], y[valid]
     if use_pca and pca_model is not None:
         if fit_pca:

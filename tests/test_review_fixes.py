@@ -58,6 +58,12 @@ def test_baselines_drop_unknown_categorical_labels():
     _, y_num, _ = _prepare_xy(ds, "age")
     assert len(y_num) == 10
 
+    # an entirely unlabeled cohort raises a clear error instead of
+    # crashing deep inside sklearn on empty arrays
+    ds.ann["subtype"][:] = -1
+    with pytest.raises(ValueError, match="No labeled samples"):
+        _prepare_xy(ds, "subtype")
+
 
 class TestReconstructExtras:
     def test_batch_variables_round_trip(self, tmp_path):
@@ -200,6 +206,13 @@ def test_inference_covariates_reindexed_to_training_columns(tmp_path):
     assert np.all(cov[:, 2] == 0.0)  # stage_III zero-filled
     assert np.all(cov[:, :2].sum(axis=1) == 1.0)  # one-hot intact
 
+    # zero overlap with the trained columns (e.g. the covariate was
+    # one-hot in training but parses numerical in the test clin.csv)
+    # must raise, not silently feed an all-zero block to the model
+    pd.DataFrame({"stage": [1, 2, 1, 2]}, index=samples).to_csv(d / "clin.csv")
+    with pytest.raises(ValueError, match="none of the rebuilt columns"):
+        DataImporterInference(str(d), artifacts, verbose=False).import_data()
+
 
 def test_finetuner_caps_final_fit_epochs(datasets):
     """The final full-data fit (no val split -> no early stopping) must run
@@ -219,10 +232,10 @@ def test_finetuner_caps_final_fit_epochs(datasets):
     seen = {}
     orig = ft._fit_once
 
-    def spy(lr, freeze, train_idx, val_idx):
+    def spy(lr, freeze, train_idx, val_idx, max_epochs=None):
         if val_idx is None:
-            seen["final_max_epochs"] = ft.max_epochs
-        return orig(lr, freeze, train_idx, val_idx)
+            seen["final_max_epochs"] = max_epochs
+        return orig(lr, freeze, train_idx, val_idx, max_epochs=max_epochs)
 
     ft._fit_once = spy
     ft._grid_parallel = lambda n, k: (
@@ -230,4 +243,53 @@ def test_finetuner_caps_final_fit_epochs(datasets):
     )
     ft.run_experiments(parallel=True)
     assert seen["final_max_epochs"] == 7
-    assert ft.max_epochs == 50  # restored after the final fit
+    assert ft.max_epochs == 50  # grid setting untouched by the final fit
+
+
+def test_finetuner_parallel_stop_epoch_matches_sequential_semantics(monkeypatch):
+    """The parallel grid reconstructs each cell's stop epoch as
+    best_epoch + patience (capped at epochs_run), matching the sequential
+    Trainer's epochs_run (= Lightning stopped_epoch) instead of reporting
+    the raw best epoch (~patience epochs early)."""
+    import types
+
+    from flexynesis_tpu.parallel import trials as trials_mod
+    from flexynesis_tpu.train.finetune import FineTuner
+
+    k, n_combos = 2, 3  # 1 lr x 3 freeze configs
+    T = n_combos * k
+
+    def fake_grid_fit(model, dataset, **kw):
+        best_epoch = np.full(T, 9)
+        best_epoch[:k] = 5  # winning combo's folds peak at epoch 5
+        loss = np.full(T, 0.6)
+        loss[:k] = 0.4
+        return {
+            "best_val_loss": loss,
+            "best_epoch": best_epoch,
+            "epochs_run": 10,
+        }
+
+    monkeypatch.setattr(trials_mod, "vmapped_grid_fit", fake_grid_fit)
+
+    ft = FineTuner.__new__(FineTuner)
+    ft.early_stop_patience = 3
+    ft.seed = 0
+    ft.max_epochs = 50
+    ft.learning_rates = [0.01]
+    ft.dataset = None
+    ft.model = types.SimpleNamespace(
+        params={"encoder_gex": {"w": np.zeros(2)}, "head_y": {"w": np.zeros(2)}},
+        batch_stats={},
+        config={"lr": 0.01},
+    )
+
+    loss, lr, freeze, avg_ep = ft._grid_parallel(n=10, k=k)
+    assert loss == pytest.approx(0.4)
+    # winning cells peaked at 5 -> would stop at 5+3=8, not at best epoch 5
+    assert avg_ep == pytest.approx(8.0)
+
+    # patience disabled -> every cell ran the full epochs_run
+    ft.early_stop_patience = -1
+    _, _, _, avg_ep = ft._grid_parallel(n=10, k=k)
+    assert avg_ep == pytest.approx(10.0)
