@@ -55,9 +55,12 @@ def build_network(
     G = len(genes)
     Xd = jnp.asarray(X)
 
+    # full matrix passed as an ARGUMENT, not closed over: closures become
+    # HLO constants, and a large gene matrix inlined into the program
+    # blows past the remote-compile tunnel's request cap (HTTP 413)
     @jax.jit
-    def block_corr_topk(rows):
-        corr = jnp.dot(rows, Xd.T, preferred_element_type=jnp.float32)
+    def block_corr_topk(rows, full):
+        corr = jnp.dot(rows, full.T, preferred_element_type=jnp.float32)
         acorr = jnp.abs(corr)
         vals, idx = jax.lax.top_k(acorr, top_k + 1)  # includes self
         return corr, vals, idx
@@ -69,7 +72,7 @@ def build_network(
         rows = Xd[start:stop]
         if rows.shape[0] < block_size and G > block_size:
             rows = jnp.pad(rows, ((0, block_size - rows.shape[0]), (0, 0)))
-        corr, vals, idx = block_corr_topk(rows)
+        corr, vals, idx = block_corr_topk(rows, Xd)
         corr = np.asarray(corr)[: stop - start]
         idx = np.asarray(idx)[: stop - start]
         for bi in range(stop - start):

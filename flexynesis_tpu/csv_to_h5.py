@@ -37,11 +37,21 @@ def convert_csv_to_h5(src_csv, dst_h5, chunksize: int = DEFAULT_CHUNKSIZE) -> Pa
     print(f"[INFO] {src_csv.name}: {n_samples:,} samples x {n_features:,} features")
 
     with h5py.File(dst_h5, "w") as f:
+        # chunk layout follows the WRITE pattern (column slices of
+        # `chunksize` features): per-sample-row chunks would force a
+        # read-modify-write of every chunk on every slice — a full-matrix
+        # rewrite per CSV chunk (~n_features/chunksize x write
+        # amplification). Readers load /matrix whole, so they're
+        # insensitive to the layout.
         mat = f.create_dataset(
             "matrix",
             shape=(n_samples, n_features),
             dtype=np.float32,
-            chunks=(1, n_features) if n_features else None,
+            chunks=(
+                (min(n_samples, 4096), min(chunksize, n_features))
+                if n_features and n_samples
+                else None
+            ),
         )
         row = 0
         for chunk in pd.read_csv(src_csv, index_col=0, chunksize=chunksize):
