@@ -918,17 +918,36 @@ def bench_ingestion(n_rows=5000, n_cols=1000):
         path = os.path.join(d, "m.csv")
         df.to_csv(path)
         os.sync()  # see docstring: writeback stalls the mmap reader
+        # warm the page cache: one sequential read guarantees both arms
+        # measure PARSE cost, not page faults. os.sync alone proved
+        # insufficient (2026-08-18 run: both native iterations hit the
+        # 3-5s stall mode, reporting the parser 3x slower than pandas
+        # and burning 28s of the section budget)
+        with open(path, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
         if fastcsv._ensure_built() is None:
             return {"error": "native fastcsv unavailable"}
         native_s, pandas_s = [], []
+        # drop each result BEFORE the next parse: an alloc-before-free
+        # loop forces every result into a fresh mmap region whose
+        # first-touch faults stall multi-second in this microVM guest
+        # (measured 3-6s vs 0.25s with glibc arena reuse) — real
+        # ingestion parses each file once, so the warm-arena number is
+        # the honest parse cost for both arms
+        shape_a = shape_b = None
         for _ in range(2):
             t0 = time.perf_counter()
             a = fastcsv.read_matrix_csv(path, fallback=False)
             native_s.append(time.perf_counter() - t0)
+            shape_a = a.shape
+            del a
             t0 = time.perf_counter()
             b = pd.read_csv(path, index_col=0)
             pandas_s.append(time.perf_counter() - t0)
-            assert a.shape == b.shape
+            shape_b = b.shape
+            del b
+        assert shape_a == shape_b
     native, pandas_w = float(np.min(native_s)), float(np.min(pandas_s))
     return {
         "native_s": round(native, 3),
