@@ -929,23 +929,29 @@ def bench_ingestion(n_rows=5000, n_cols=1000):
         if fastcsv._ensure_built() is None:
             return {"error": "native fastcsv unavailable"}
         native_s, pandas_s = [], []
-        # drop each result BEFORE the next parse: an alloc-before-free
-        # loop forces every result into a fresh mmap region whose
-        # first-touch faults stall multi-second in this microVM guest
-        # (measured 3-6s vs 0.25s with glibc arena reuse) — real
-        # ingestion parses each file once, so the warm-arena number is
-        # the honest parse cost for both arms
-        shape_a = shape_b = None
+        # each arm runs back-to-back with its result dropped between
+        # iterations, after one untimed warm-up: first-touch faults on a
+        # fresh mmap region stall multi-second in this microVM guest
+        # (measured 3-6s vs 0.25s when glibc reuses the arena), and
+        # interleaving the arms lets one arm's allocations steal the
+        # other's freed arena (2026-08-18 run: min-of-2 native still 2s).
+        # Real ingestion parses each file once — warm-arena is the honest
+        # parse cost for both arms.
+        a = fastcsv.read_matrix_csv(path, fallback=False)
+        shape_a = a.shape
+        del a
         for _ in range(2):
             t0 = time.perf_counter()
             a = fastcsv.read_matrix_csv(path, fallback=False)
             native_s.append(time.perf_counter() - t0)
-            shape_a = a.shape
             del a
+        b = pd.read_csv(path, index_col=0)
+        shape_b = b.shape
+        del b
+        for _ in range(2):
             t0 = time.perf_counter()
             b = pd.read_csv(path, index_col=0)
             pandas_s.append(time.perf_counter() - t0)
-            shape_b = b.shape
             del b
         assert shape_a == shape_b
     native, pandas_w = float(np.min(native_s)), float(np.min(pandas_s))
