@@ -593,12 +593,18 @@ def _run_baseline_comparison(args, train_dataset, test_dataset):
         frames.append(s)
         preds.append(p)
     if args.surv_event_var and args.surv_time_var:
-        s, p = evaluate_baseline_survival_performance(
-            train_dataset, test_dataset,
-            args.surv_time_var, args.surv_event_var, n_jobs=args.threads,
-        )
-        frames.append(s)
-        preds.append(p)
+        try:
+            s, p = evaluate_baseline_survival_performance(
+                train_dataset, test_dataset,
+                args.surv_time_var, args.surv_event_var, n_jobs=args.threads,
+            )
+        except (ValueError, ZeroDivisionError) as e:
+            # empty/degenerate survival columns (concordance_index raises
+            # ZeroDivisionError when no pair is admissible)
+            print(f"[WARN] Skipping survival baseline comparison: {e}")
+        else:
+            frames.append(s)
+            preds.append(p)
     if frames:
         pd.concat(frames, ignore_index=True).to_csv(
             os.path.join(args.outdir, f"{args.prefix}.baseline.stats.csv"),

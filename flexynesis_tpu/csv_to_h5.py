@@ -43,14 +43,19 @@ def convert_csv_to_h5(src_csv, dst_h5, chunksize: int = DEFAULT_CHUNKSIZE) -> Pa
         # rewrite per CSV chunk (~n_features/chunksize x write
         # amplification). Readers load /matrix whole, so they're
         # insensitive to the layout.
+        # cap the chunk at 32 MiB: h5py rejects chunks over 4 GiB, and a
+        # huge --chunksize would otherwise produce one (4096 rows x
+        # 300k-feature chunk ≈ 4.9 GB)
+        chunk_cols = max(1, min(chunksize, n_features))
+        chunk_rows = max(
+            1, min(n_samples, 4096, (32 << 20) // (4 * chunk_cols))
+        )
         mat = f.create_dataset(
             "matrix",
             shape=(n_samples, n_features),
             dtype=np.float32,
             chunks=(
-                (min(n_samples, 4096), min(chunksize, n_features))
-                if n_features and n_samples
-                else None
+                (chunk_rows, chunk_cols) if n_features and n_samples else None
             ),
         )
         row = 0

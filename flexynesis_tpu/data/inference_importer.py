@@ -140,19 +140,27 @@ class DataImporterInference:
                 cov_set = set(cov.columns)
                 dropped = [c for c in cov.columns if c not in train_set]
                 filled = [c for c in train_cov_cols if c not in cov_set]
-                if train_cov_cols and not (train_set & cov_set):
-                    # nothing survives the reindex: an all-zero covariate
-                    # block would pass the strict 'all' check below while
-                    # silently feeding garbage to the model (e.g. a
-                    # covariate inferred categorical in training but
-                    # numerical here because the test column is clean)
-                    raise ValueError(
-                        "Inference covariates: none of the rebuilt columns "
-                        f"({list(cov.columns)[:5]}...) match the trained "
-                        f"covariate columns ({train_cov_cols[:5]}...). The "
-                        "test clin.csv likely encodes the covariates with "
-                        "different types/levels than the training data."
-                    )
+                # per-covariate guard: if EVERY trained column of one
+                # covariate zero-fills, the model would consume an all-zero
+                # block for it while the strict 'all' check below still
+                # passes (e.g. a covariate one-hot in training parses
+                # numerical here, or its levels are spelled differently) —
+                # a whole-block-overlap check would let one healthy
+                # covariate mask another's silent degradation
+                for var in cov_vars:
+                    cols_v = [
+                        c for c in train_cov_cols
+                        if c == var or c.startswith(f"{var}_")
+                    ]
+                    if cols_v and not any(c in cov_set for c in cols_v):
+                        raise ValueError(
+                            f"Inference covariates: none of '{var}'s "
+                            f"trained columns ({cols_v[:5]}) can be rebuilt "
+                            "from the test clin.csv (rebuilt columns: "
+                            f"{list(cov.columns)[:8]}). The test cohort "
+                            "likely encodes this covariate with different "
+                            "types/levels than the training data."
+                        )
                 if (dropped or filled) and self.verbose:
                     print(
                         f"[INFO] covariates: aligning to training columns "

@@ -200,6 +200,12 @@ def evaluate_baseline_survival_performance(
 
     X_train, d_train, e_train, _ = prep(train_dataset)
     X_test, d_test, e_test, test_idx = prep(test_dataset)
+    if len(d_train) < n_folds or len(d_test) == 0:
+        raise ValueError(
+            f"Too few samples with observed '{duration_col}'/'{event_col}' "
+            f"({len(d_train)} train, {len(d_test)} test) for the survival "
+            "baseline."
+        )
 
     def fit_rsf(X, d, e):
         rf = RandomForestRegressor(

@@ -70,14 +70,37 @@ def concordance_index(
 
 
 def evaluate_survival(outputs, durations, events) -> Dict[str, float]:
-    """C-index of risk scores (higher risk -> shorter survival)."""
+    """C-index of risk scores (higher risk -> shorter survival).
+
+    Deliberate robustness deviation from the reference (utils.py:416-445,
+    which crashes in lifelines here): a cohort with no valid
+    (duration, event) rows — or no admissible pair — reports cindex=NaN
+    with a warning instead of aborting a finished training run at the
+    stats-writing step.
+    """
     outputs = np.asarray(outputs, dtype=np.float64).ravel()
     durations = np.asarray(durations, dtype=np.float64).ravel()
     events = np.asarray(events, dtype=np.float64).ravel()
     valid = ~np.isnan(durations) & ~np.isnan(events)
-    if valid.sum() > 0:
-        outputs, durations, events = outputs[valid], durations[valid], events[valid]
-    return {"cindex": concordance_index(durations, -outputs, events)}
+    if valid.sum() == 0:
+        import warnings
+
+        warnings.warn(
+            "evaluate_survival: no samples with observed duration+event; "
+            "reporting cindex=NaN."
+        )
+        return {"cindex": float("nan")}
+    outputs, durations, events = outputs[valid], durations[valid], events[valid]
+    try:
+        return {"cindex": concordance_index(durations, -outputs, events)}
+    except ZeroDivisionError:
+        import warnings
+
+        warnings.warn(
+            "evaluate_survival: no admissible pair (all times tied/censored);"
+            " reporting cindex=NaN."
+        )
+        return {"cindex": float("nan")}
 
 
 def evaluate_classifier(y_true, y_probs, print_report: bool = False) -> Dict:

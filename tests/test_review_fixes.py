@@ -210,8 +210,75 @@ def test_inference_covariates_reindexed_to_training_columns(tmp_path):
     # one-hot in training but parses numerical in the test clin.csv)
     # must raise, not silently feed an all-zero block to the model
     pd.DataFrame({"stage": [1, 2, 1, 2]}, index=samples).to_csv(d / "clin.csv")
-    with pytest.raises(ValueError, match="none of the rebuilt columns"):
+    with pytest.raises(ValueError, match="trained columns"):
         DataImporterInference(str(d), artifacts, verbose=False).import_data()
+
+    # the guard is PER covariate: a healthy numerical covariate must not
+    # mask a categorical one whose levels are spelled differently (its
+    # whole one-hot block would silently zero-fill)
+    artifacts2 = dict(
+        artifacts,
+        covariate_vars=["age", "stage"],
+        feature_lists={
+            "gex": feats,
+            "covariates": ["age", "stage_I", "stage_II", "stage_III"],
+        },
+    )
+    pd.DataFrame(
+        {"age": [50.0, 60.0, 70.0, 80.0],
+         "stage": ["Stage I", "Stage II", "Stage I", "Stage II"]},
+        index=samples,
+    ).to_csv(d / "clin.csv")
+    with pytest.raises(ValueError, match="'stage'"):
+        DataImporterInference(str(d), artifacts2, verbose=False).import_data()
+
+
+def test_survival_baseline_raises_on_empty_cohort():
+    """All-NaN survival columns must raise a clear ValueError, not crash
+    deep inside sklearn (the CLI catches it and skips the comparison)."""
+    from flexynesis_tpu.utils.baselines import (
+        evaluate_baseline_survival_performance,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 20
+    mk = lambda surv: MultiOmicDataset(
+        dat={"gex": rng.normal(size=(n, 4)).astype(np.float32)},
+        ann={"OS_MONTHS": surv, "OS_STATUS": surv},
+        variable_types={"OS_MONTHS": "numerical", "OS_STATUS": "numerical"},
+        features={"gex": [f"g{i}" for i in range(4)]},
+        samples=[f"S{i}" for i in range(n)],
+    )
+    train = mk(rng.random(n).astype(np.float32) * 10)
+    test = mk(np.full(n, np.nan, np.float32))
+    with pytest.raises(ValueError, match="Too few samples"):
+        evaluate_baseline_survival_performance(
+            train, test, "OS_MONTHS", "OS_STATUS"
+        )
+
+
+def test_csv_to_h5_chunk_byte_cap(tmp_path):
+    """A huge --chunksize must not produce an h5 chunk over the 32 MiB cap
+    (h5py hard-rejects >4 GiB chunks)."""
+    import h5py
+
+    from flexynesis_tpu.csv_to_h5 import convert_csv_to_h5
+
+    df = pd.DataFrame(
+        np.random.default_rng(0).normal(size=(64, 8)).astype(np.float32),
+        index=[f"g{i}" for i in range(64)],
+        columns=[f"S{j}" for j in range(8)],
+    )
+    src = tmp_path / "m.csv"
+    df.to_csv(src)
+    out = convert_csv_to_h5(src, tmp_path / "m.h5", chunksize=10_000_000)
+    with h5py.File(out) as f:
+        chunks = f["matrix"].chunks
+        assert chunks is not None
+        assert int(np.prod(chunks)) * 4 <= 32 << 20
+        np.testing.assert_allclose(
+            f["matrix"][:], df.to_numpy(np.float32).T
+        )
 
 
 def test_finetuner_caps_final_fit_epochs(datasets):
