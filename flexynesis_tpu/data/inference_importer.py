@@ -200,6 +200,22 @@ class DataImporterInference:
                     ann[col] = labels_df[col].to_numpy(dtype=np.float32)
                     variable_types[col] = "numerical"
 
+        # unlabeled cohort support (no clin.csv, or clin missing a trained
+        # target): class names and variable kinds still resolve from the
+        # trained encoders so predicted_labels.csv carries real labels;
+        # ann stays absent -> known_label is NaN and evaluate_wrapper
+        # skips the variable (no ground truth to score against). The
+        # reference requires a clin.csv even for unlabeled cohorts.
+        for var, enc in self.label_encoders.items():
+            if var not in variable_types:
+                variable_types[var] = "categorical"
+                label_mappings[var] = {
+                    int(i): c for i, c in enumerate(enc.categories_[0])
+                }
+                label_mappings[var][-1] = "Unknown"
+        for var in self.target_variables:
+            variable_types.setdefault(var, "numerical")
+
         if early_fusion:
             features = {
                 m: list(self.scalers[m].feature_names_in_) for m in to_load

@@ -167,9 +167,15 @@ def evaluate_wrapper(
     surv_event_var: Optional[str] = None,
     surv_time_var: Optional[str] = None,
 ) -> pd.DataFrame:
-    """Long-format metrics table across all predicted variables."""
+    """Long-format metrics table across all predicted variables.
+
+    Variables without annotations (unlabeled inference cohort) are skipped
+    — there is no ground truth to score against."""
     rows = []
     for var in y_pred_dict.keys():
+        if var not in dataset.ann:
+            print(f"[INFO] No '{var}' labels in the cohort; skipping metrics")
+            continue
         ann = np.asarray(dataset.ann[var], dtype=np.float64)
         if dataset.variable_types[var] == "numerical":
             if var == surv_event_var:
@@ -180,11 +186,21 @@ def evaluate_wrapper(
                 )
             else:
                 ind = ~np.isnan(ann)
+                if not ind.any():
+                    print(f"[INFO] All '{var}' labels missing; skipping metrics")
+                    continue
                 metrics = evaluate_regressor(
                     ann[ind], np.asarray(y_pred_dict[var]).ravel()[ind]
                 )
         else:
+            # -1 = missing/unseen level (importer/inference encoding)
             ind = ~np.isnan(ann) & (ann != -1)
+            if not ind.any():
+                print(
+                    f"[INFO] No known '{var}' labels in the cohort (all "
+                    "missing or unseen levels); skipping metrics"
+                )
+                continue
             metrics = evaluate_classifier(ann[ind], np.asarray(y_pred_dict[var])[ind])
         for metric, value in metrics.items():
             rows.append(
@@ -204,23 +220,39 @@ def get_predicted_labels(
 ) -> pd.DataFrame:
     """Long-format per-sample prediction table (probabilities + labels)."""
     rows = []
+    n = len(dataset.samples)
     for var in y_pred_dict.keys():
-        if dataset.variable_types[var] == "categorical":
-            probs = np.asarray(y_pred_dict[var])
+        # unlabeled cohorts carry no ann for the variable: known_label
+        # stays NaN, predictions are still written. Variables absent from
+        # variable_types fall back to the prediction's shape (2-D
+        # probabilities -> categorical).
+        preds_arr = np.asarray(y_pred_dict[var])
+        vtype = dataset.variable_types.get(
+            var, "categorical" if preds_arr.ndim == 2 else "numerical"
+        )
+        if vtype == "categorical":
+            probs = preds_arr
             mapping = dataset.label_mappings.get(var)
-            if mapping is not None:
-                class_labels = [mapping.get(i) for i in range(probs.shape[1])]
-            else:
-                class_labels = [f"class_{i}" for i in range(probs.shape[1])]
-            ann = np.asarray(dataset.ann[var], dtype=np.float64)
+
+            def _name(i):
+                # the head carries the reference's missing-label class when
+                # training labels had NaNs (num_classes_for / reference
+                # direct_pred.py:100 both count NaN as a category); its
+                # mapping entry is float NaN — present it as "Unknown"
+                # rather than a NaN label
+                v = mapping.get(int(i), f"class_{int(i)}") if mapping else f"class_{int(i)}"
+                return "Unknown" if isinstance(v, float) and np.isnan(v) else v
+
+            class_labels = [_name(i) for i in range(probs.shape[1])]
+            ann = np.asarray(
+                dataset.ann.get(var, np.full(n, np.nan)), dtype=np.float64
+            )
             y_true = [
-                mapping[int(v)] if mapping is not None and not np.isnan(v) else np.nan
+                _name(v) if mapping is not None and not np.isnan(v) else np.nan
                 for v in ann
             ]
             pred_idx = np.argmax(probs, axis=1)
-            y_pred = [
-                mapping[int(i)] if mapping is not None else int(i) for i in pred_idx
-            ]
+            y_pred = [_name(i) for i in pred_idx]
             for i, sample_id in enumerate(dataset.samples):
                 for j, cl in enumerate(class_labels):
                     rows.append(
@@ -236,8 +268,10 @@ def get_predicted_labels(
                         }
                     )
         else:
-            ann = np.asarray(dataset.ann[var], dtype=np.float64)
-            preds = np.asarray(y_pred_dict[var]).ravel()
+            ann = np.asarray(
+                dataset.ann.get(var, np.full(n, np.nan)), dtype=np.float64
+            )
+            preds = preds_arr.ravel()
             for i, sample_id in enumerate(dataset.samples):
                 rows.append(
                     {

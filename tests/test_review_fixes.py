@@ -233,6 +233,90 @@ def test_inference_covariates_reindexed_to_training_columns(tmp_path):
         DataImporterInference(str(d), artifacts2, verbose=False).import_data()
 
 
+class TestUnlabeledCohort:
+    """Inference on a cohort with no clin.csv (or all-unseen labels) must
+    produce predictions with real class names and skip metrics, not crash
+    (the reference requires a clin.csv even for unlabeled cohorts)."""
+
+    def _dataset(self, with_ann):
+        kw = dict(
+            dat={"gex": np.zeros((4, 3), np.float32)},
+            ann={"subtype": np.array([0, 1, -1, -1], np.float32)} if with_ann else {},
+            variable_types={"subtype": "categorical"},
+            features={"gex": ["g0", "g1", "g2"]},
+            samples=[f"S{i}" for i in range(4)],
+            label_mappings={"subtype": {0: "a", 1: "b", -1: "Unknown"}},
+        )
+        return MultiOmicDataset(**kw)
+
+    def test_predicted_labels_without_ann(self):
+        from flexynesis_tpu.utils.metrics import get_predicted_labels
+
+        probs = np.array([[0.8, 0.2]] * 4, np.float32)
+        tbl = get_predicted_labels({"subtype": probs}, self._dataset(False),
+                                   "test", "DirectPred")
+        assert len(tbl) == 8  # 4 samples x 2 classes
+        assert tbl["known_label"].isna().all()
+        assert set(tbl["predicted_label"]) == {"a"}
+
+    def test_evaluate_wrapper_skips_missing_and_unseen(self):
+        from flexynesis_tpu.utils.metrics import evaluate_wrapper
+
+        probs = np.array([[0.8, 0.2]] * 4, np.float32)
+        # no ann at all -> skipped
+        stats = evaluate_wrapper("M", {"subtype": probs}, self._dataset(False))
+        assert len(stats) == 0
+        # all labels unseen (-1) -> skipped instead of crashing in sklearn
+        ds = self._dataset(True)
+        ds.ann["subtype"][:] = -1
+        stats = evaluate_wrapper("M", {"subtype": probs}, ds)
+        assert len(stats) == 0
+
+    def test_dead_nan_class_presents_as_unknown(self):
+        """Training labels with NaNs give the head a missing-label class
+        (reference direct_pred.py:100 parity); its NaN mapping entry must
+        surface as 'Unknown', not a NaN predicted_label."""
+        from flexynesis_tpu.utils.metrics import get_predicted_labels
+
+        ds = self._dataset(True)
+        ds.label_mappings["subtype"] = {0: "a", 1: "b", 2: float("nan")}
+        probs = np.array([[0.1, 0.2, 0.7]] * 4, np.float32)
+        tbl = get_predicted_labels({"subtype": probs}, ds, "test", "M")
+        assert set(tbl["predicted_label"]) == {"Unknown"}
+        assert "Unknown" in set(tbl["class_label"])
+        assert not tbl["class_label"].isna().any()
+
+    def test_inference_importer_no_clin(self, tmp_path):
+        from sklearn.preprocessing import OrdinalEncoder, StandardScaler
+
+        from flexynesis_tpu.data.inference_importer import DataImporterInference
+
+        feats = ["f0", "f1", "f2"]
+        train = pd.DataFrame(
+            np.random.default_rng(0).normal(size=(6, 3)), columns=feats
+        )
+        enc = OrdinalEncoder().fit(np.array([["x"], ["y"]]))
+        artifacts = {
+            "data_types": ["gex"],
+            "feature_lists": {"gex": feats},
+            "transforms": {"gex": StandardScaler().fit(train)},
+            "label_encoders": {"subtype": enc},
+            "target_variables": ["subtype"],
+        }
+        d = tmp_path / "noclin"
+        d.mkdir()
+        pd.DataFrame(
+            np.random.default_rng(1).normal(size=(3, 4)),
+            index=feats, columns=[f"S{i}" for i in range(4)],
+        ).to_csv(d / "gex.csv")
+        ds = DataImporterInference(str(d), artifacts, verbose=False).import_data()
+        assert "subtype" not in ds.ann  # no ground truth
+        # but class names and kind resolve from the trained encoder
+        assert ds.variable_types["subtype"] == "categorical"
+        assert ds.label_mappings["subtype"][0] == "x"
+        assert ds.label_mappings["subtype"][-1] == "Unknown"
+
+
 def test_survival_baseline_raises_on_empty_cohort():
     """All-NaN survival columns must raise a clear ValueError, not crash
     deep inside sklearn (the CLI catches it and skips the comparison)."""
