@@ -780,12 +780,12 @@ def bench_e2e_pipelined(n_rounds=2):
     previously-reported `e2e_trials_per_hour_incl_gp` is the computed
     SEQUENTIAL sum (engine_ms + gp_ms); this section measures the actual
     pipelined loop against a sequential (unpipelined) arm on the SAME
-    engine. Both arms run ``n_rounds`` timed rounds from a deep-copied
-    snapshot of the optimizer taken after a shared warm round, so they see
-    identical GP histories and RNG streams — neither arm is advantaged by
-    history size or a lone-sample tunnel swing. Reuses the
-    already-compiled headline engine (lr-only space at the headline
-    architecture) — no fresh compiles.
+    engine. Both arms run ``n_rounds`` timed rounds from deep-copied
+    snapshots of the optimizer taken after a shared warm round (identical
+    GP histories and RNG streams), INTERLEAVED round-by-round so tunnel
+    contention bursts hit both arms instead of deciding the ratio.
+    Reuses the already-compiled headline engine (lr-only space at the
+    headline architecture) — no fresh compiles.
     """
     import copy
 
@@ -818,36 +818,60 @@ def bench_e2e_pipelined(n_rounds=2):
     sugg = base.ask(k)
     tell_all(base, sugg, run_round(sugg, None))
 
-    # sequential arm: ask AFTER each round's tells, nothing overlapped —
-    # the apples-to-apples non-pipelined rate
-    opt = copy.deepcopy(base)
-    t0 = time.perf_counter()
-    for _ in range(n_rounds):
-        sugg = opt.ask(k)
-        tell_all(opt, sugg, run_round(sugg, None))
-    wall_seq = time.perf_counter() - t0
-    tph_seq = n_rounds * k * 3600.0 / wall_seq
+    # the two arms run INTERLEAVED round-by-round (P0 S0 P1 S1 ...) from
+    # independent deep copies of the warm optimizer: the tunnel's
+    # contention swings last seconds-to-minutes, so back-to-back arm
+    # blocks let one burst land entirely on one arm (a 2026-08-18 run
+    # reported pipeline_speedup 0.81 purely from a stall inside the
+    # pipelined block); adjacent rounds expose both arms to the same
+    # drift. Per-arm wall accumulates over its own rounds only.
+    opt_s = copy.deepcopy(base)
+    opt_p = copy.deepcopy(base)
 
-    # pipelined arm: one untimed lead round enters the steady state (its
-    # gaps compute the first timed round's suggestions), then n_rounds
-    # timed rounds whose asks hide under device work
-    opt = copy.deepcopy(base)
-    sugg = opt.ask(k)
-    nxt = opt.ask_session(k, pending=sugg)
-    tell_all(opt, sugg, run_round(sugg, nxt.work))
-    sugg = nxt.finish()
+    # pipelined lead round (untimed): enters the steady state — its gaps
+    # compute the first timed round's suggestions
+    sugg_p = opt_p.ask(k)
+    nxt = opt_p.ask_session(k, pending=sugg_p)
+    tell_all(opt_p, sugg_p, run_round(sugg_p, nxt.work))
+    sugg_p = nxt.finish()
+
+    wall_pipe = wall_seq = 0.0
     hidden = []
-    t0 = time.perf_counter()
+    phases = {"p_setup": 0.0, "p_round": 0.0, "p_finish_tells": 0.0,
+              "s_ask": 0.0, "s_round": 0.0, "s_tells": 0.0}
     for r in range(n_rounds):
+        # pipelined round r: the NEXT round's ask hides under device work
+        t0 = time.perf_counter()
         nxt = (
-            opt.ask_session(k, pending=sugg) if r < n_rounds - 1 else None
+            opt_p.ask_session(k, pending=sugg_p) if r < n_rounds - 1 else None
         )
-        losses = run_round(sugg, nxt.work if nxt is not None else None)
-        tell_all(opt, sugg, losses)
+        t1 = time.perf_counter()
+        phases["p_setup"] += t1 - t0
+        losses = run_round(sugg_p, nxt.work if nxt is not None else None)
+        t2 = time.perf_counter()
+        phases["p_round"] += t2 - t1
+        tell_all(opt_p, sugg_p, losses)
         if nxt is not None:
             hidden.append(len(nxt.out) / k)  # fraction drained in the gap
-            sugg = nxt.finish()
-    wall_pipe = time.perf_counter() - t0
+            sugg_p = nxt.finish()
+        t3 = time.perf_counter()
+        phases["p_finish_tells"] += t3 - t2
+        wall_pipe += t3 - t0
+
+        # sequential round r: ask AFTER the tells, nothing overlapped
+        t0 = time.perf_counter()
+        sugg_s = opt_s.ask(k)
+        t1 = time.perf_counter()
+        phases["s_ask"] += t1 - t0
+        losses = run_round(sugg_s, None)
+        t2 = time.perf_counter()
+        phases["s_round"] += t2 - t1
+        tell_all(opt_s, sugg_s, losses)
+        t3 = time.perf_counter()
+        phases["s_tells"] += t3 - t2
+        wall_seq += t3 - t0
+
+    tph_seq = n_rounds * k * 3600.0 / wall_seq
     tph_pipe = n_rounds * k * 3600.0 / wall_pipe
 
     return {
@@ -856,9 +880,10 @@ def bench_e2e_pipelined(n_rounds=2):
         "pipeline_speedup": round(tph_pipe / tph_seq, 3),
         "ask_fraction_hidden_under_device": round(float(np.mean(hidden)), 3)
         if hidden else None,
+        "phase_seconds": {p: round(v, 2) for p, v in phases.items()},
         "rounds_per_arm": n_rounds,
         "trials_per_round": k,
-        "gp_history_at_end": len(opt.y),
+        "gp_history_at_end": len(opt_p.y),
     }
 
 

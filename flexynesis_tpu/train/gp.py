@@ -72,7 +72,10 @@ class GaussianProcess:
             except np.linalg.LinAlgError:
                 continue
             alpha = solve_triangular(
-                L.T, solve_triangular(L, y, lower=True), lower=False
+                L.T,
+                solve_triangular(L, y, lower=True, check_finite=False),
+                lower=False,
+                check_finite=False,
             )
             lml = (
                 -0.5 * float(y @ alpha)
@@ -102,14 +105,15 @@ class GaussianProcess:
             self.L = np.linalg.cholesky(K + 1e-6 * np.eye(n))
         self.alpha = solve_triangular(
             self.L.T,
-            solve_triangular(self.L, self.y, lower=True),
+            solve_triangular(self.L, self.y, lower=True, check_finite=False),
             lower=False,
+            check_finite=False,
         )
 
     def predict(self, Xq: np.ndarray):
         Kq = _matern52(_sq_dists(Xq, self.X), self.ell)
         mu = Kq @ self.alpha
-        v = solve_triangular(self.L, Kq.T, lower=True)
+        v = solve_triangular(self.L, Kq.T, lower=True, check_finite=False)
         var = np.maximum(1.0 - np.sum(v * v, axis=0) + self.noise, 1e-12)
         return mu * self.y_std + self.y_mean, np.sqrt(var) * self.y_std
 
@@ -301,8 +305,22 @@ class AskSession:
         self.out: List[dict] = []
         self._random_mode = False
         self._done = self.n <= 0
-        if self._done:
+        self._pending = pending
+        # setup (GP fit, pending-block Cholesky extension, candidate-pool
+        # solves — ~0.5-3s at production sizes) is DEFERRED to the first
+        # step()/work()/finish() call: pipelined HPO constructs the
+        # session before dispatching the device round, and an eager
+        # constructor would run all of that synchronously OUTSIDE the
+        # dispatch->fetch gap (measured 3.3s/round un-hidden, enough to
+        # flip bench e2e_pipelined below 1.0 on contended days)
+        self._ready = self._done
+
+    def _setup(self) -> None:
+        if self._ready:
             return
+        self._ready = True
+        opt = self.opt
+        pending = self._pending
 
         space = opt.space
         rng = opt.rng
@@ -353,7 +371,14 @@ class AskSession:
         self.y_mean, self.y_std = gp.y_mean, gp.y_std
         d = len(space)
 
-        # one shared candidate pool: quasi-random + incumbent-local points
+        # one shared candidate pool: quasi-random + incumbent-local points,
+        # SNAPPED to representable trial locations (to_unit(from_unit(u)))
+        # so (a) the acquisition is evaluated exactly where a trial would
+        # actually run, and (b) step()'s fantasy update can reuse the
+        # pool's incrementally-maintained solve column (Vb[:, j]) instead
+        # of a fresh O(m^2) triangular solve — scipy copies the
+        # non-contiguous Lb[:m,:m] slice on every call, which made 512
+        # sequential appends cost ~8s at m~1.5k (measured 2026-08-18)
         inc = Xb[int(np.argmin(yb))]
         cand = np.vstack([
             rng.random((opt.n_candidates, d)),
@@ -363,6 +388,10 @@ class AskSession:
                 0.0, 1.0,
             ),
         ])
+        space_ = opt.space
+        cand = np.asarray(
+            [space_.to_unit(space_.from_unit(u)) for u in cand], float
+        )
         self.cand = cand
         n_cand = cand.shape[0]
 
@@ -376,10 +405,11 @@ class AskSession:
         self.Xg = np.zeros((M, d))
         self.Xg[:m0] = Xb
         self.wb = np.zeros(M)
-        self.wb[:m0] = solve_triangular(gp.L, gp.y, lower=True)
+        self.wb[:m0] = solve_triangular(gp.L, gp.y, lower=True, check_finite=False)
         self.Vb = np.zeros((M, n_cand))
         self.Vb[:m0] = solve_triangular(
-            gp.L, _matern52(_sq_dists(Xb, cand), self.ell), lower=True
+            gp.L, _matern52(_sq_dists(Xb, cand), self.ell),
+            lower=True, check_finite=False,
         )
         self.y_best_t = float(np.min(gp.y))  # standardized incumbent
         self.y_best = self.y_best_t * self.y_std + self.y_mean
@@ -404,7 +434,7 @@ class AskSession:
         m, P = self.m, Xp.shape[0]
         L11 = self.Lb[:m, :m]
         K21 = _matern52(_sq_dists(Xp, self.Xg[:m]), self.ell)
-        L21 = solve_triangular(L11, K21.T, lower=True).T
+        L21 = solve_triangular(L11, K21.T, lower=True, check_finite=False).T
         S = (
             _matern52(_sq_dists(Xp, Xp), self.ell)
             + self.noise * np.eye(P)
@@ -426,18 +456,32 @@ class AskSession:
         self.Xg[m:m + P] = Xp
         y_t = np.full(P, self.y_best_t)
         self.wb[m:m + P] = solve_triangular(
-            L22, y_t - L21 @ self.wb[:m], lower=True
+            L22, y_t - L21 @ self.wb[:m],
+            lower=True, check_finite=False,
         )
         Kc = _matern52(_sq_dists(Xp, self.cand), self.ell)
         self.Vb[m:m + P] = solve_triangular(
-            L22, Kc - L21 @ self.Vb[:m], lower=True
+            L22, Kc - L21 @ self.Vb[:m],
+            lower=True, check_finite=False,
         )
         self.m = m + P
 
-    def _rank1_append(self, xq: np.ndarray) -> None:
+    def _rank1_append(self, xq: np.ndarray, l: np.ndarray = None) -> None:
+        """Append one fantasy row. ``l`` short-circuits the triangular
+        solve when the caller already holds L^-1 k(Xg[:m], xq) — true
+        whenever xq is a candidate-pool point, whose column of Vb is
+        exactly that vector (same forward-substitution recursion). The
+        solve fallback copies the non-contiguous Lb[:m,:m] slice inside
+        scipy (~m^2 doubles per call), so avoid it on hot paths."""
         m = self.m
-        k_new = _matern52(_sq_dists(self.Xg[:m], xq[None, :]), self.ell)[:, 0]
-        l = solve_triangular(self.Lb[:m, :m], k_new, lower=True)
+        if l is None:
+            k_new = _matern52(
+                _sq_dists(self.Xg[:m], xq[None, :]), self.ell
+            )[:, 0]
+            l = solve_triangular(
+                np.ascontiguousarray(self.Lb[:m, :m]), k_new,
+                lower=True, check_finite=False,
+            )
         lam = np.sqrt(max(1.0 + self.noise - float(l @ l), 1e-10))
         self.Lb[m, :m] = l
         self.Lb[m, m] = lam
@@ -456,6 +500,9 @@ class AskSession:
         then a rank-1 fantasy update at the QUANTIZED suggestion (the point
         the trial will actually run — quantization collapses the
         acquisition at the true trial location, not just near it)."""
+        self._setup()
+        if self._done:  # setup itself can finish the ask (random warm-up)
+            return self.out[-1] if self.out else None
         opt = self.opt
         if self._random_mode:
             u = opt.rng.random(len(opt.space))
@@ -474,14 +521,18 @@ class AskSession:
             score = probability_of_improvement(mu, sigma, self.y_best)
         else:
             score = lower_confidence_bound(mu, sigma)
-        u = self.cand[int(np.argmax(score))]
+        j = int(np.argmax(score))
+        u = self.cand[j]
         params = opt.space.from_unit(u)
         opt._note_strategy(params, strategy)
         self.out.append(params)
 
         xq = np.asarray(opt.space.to_unit(params), float)
         m = self.m
-        self._rank1_append(xq)
+        # the pool is snapped to representable points, so xq == cand[j]
+        # and the append's solve result is the pool column itself
+        l = self.Vb[:m, j].copy() if np.array_equal(xq, u) else None
+        self._rank1_append(xq, l=l)
         self.mu_t = self.mu_t + self.Vb[m] * self.wb[m]
         self.s2 = self.s2 + self.Vb[m] * self.Vb[m]
         if len(self.out) >= self.n:

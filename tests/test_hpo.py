@@ -428,8 +428,13 @@ class TestPipelinedAsk:
         _, opt = self._seeded_opt()
         pend = opt.ask(8)
         session = opt.ask_session(8, pending=pend)
+        # setup is lazy (it must run inside the dispatch->fetch gap, not
+        # at construction): internals appear after the first step
+        assert not hasattr(session, "m")
+        session.work(0.0)  # one step; runs setup
         # blocked Cholesky extension incorporated all pending rows
-        assert session.m == len(opt.X) + len(pend)
+        # (+1 fantasy row appended by the step itself)
+        assert session.m == len(opt.X) + len(pend) + 1
         got = session.finish()
         assert len(got) == 8
         # the liar fantasies collapse the posterior at pending points, so
