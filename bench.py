@@ -654,10 +654,6 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10,
     # this bench for the tunnel's 2-4x contention swings.
     run(epochs), run(3 * epochs)  # compile warm-ups for both chunk shapes
     diffs = sorted(run(3 * epochs) - run(epochs) for _ in range(2))
-    wall = min(d for d in diffs if d > 0) if any(d > 0 for d in diffs) else 0.0
-    if wall <= 0:  # contention stalled every pairing: flag, don't fabricate
-        return {"measurement_unstable": True,
-                "paired_diffs_s": [round(d, 3) for d in diffs]}
     hidden = int(g * HIDDEN_FACTOR)
     flop_per_sample = 3 * 2 * (
         g * hidden + hidden * latent + latent * SUP_HIDDEN
@@ -665,6 +661,16 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10,
     )
     n_steps = (len(tr) // batch) * (2 * epochs)
     samples = n_steps * batch
+    # keep only PLAUSIBLE diffs: a stall in the short run makes a diff too
+    # small the same way a stall in the long run makes it too big — a
+    # 2026-08-18 artifact reported MFU 1.12 from exactly that. Physical
+    # floor: the diff cannot imply more than ~95% of the bf16 peak.
+    wall_floor = samples * flop_per_sample / (0.95 * V5E_BF16_PEAK)
+    ok = [d for d in diffs if d >= wall_floor]
+    if not ok:  # contention corrupted every pairing: flag, don't fabricate
+        return {"measurement_unstable": True,
+                "paired_diffs_s": [round(d, 3) for d in diffs]}
+    wall = min(ok)
     sps = samples / wall
     return {
         "samples_per_sec": round(sps, 0),

@@ -314,6 +314,12 @@ class AskSession:
         # dispatch->fetch gap (measured 3.3s/round un-hidden, enough to
         # flip bench e2e_pipelined below 1.0 on contended days)
         self._ready = self._done
+        # observations present at construction: tells that arrive between
+        # construction and the deferred setup are real observations of
+        # (some of) the pending points — _setup drops those from the liar
+        # set, or the GP would condition on duplicate rows with
+        # conflicting values (real loss vs incumbent fantasy)
+        self._n_y0 = len(opt.y)
 
     def _setup(self) -> None:
         if self._ready:
@@ -328,11 +334,25 @@ class AskSession:
         y = list(opt.y)
 
         # random warm-up phase (identical to the one-shot ask); pending
-        # points count toward the initial-design size like any fantasy
-        X_pend = (
-            [np.asarray(space.to_unit(p), float) for p in pending]
-            if pending else []
+        # points count toward the initial-design size like any fantasy.
+        # Pending points already OBSERVED since construction (their tells
+        # landed before the first step) are dropped from the liar set —
+        # they are now real rows of opt.X and fantasizing them again
+        # would double-count them at a conflicting (incumbent) value.
+        from collections import Counter
+
+        told_since = Counter(
+            tuple(np.round(np.asarray(x, float), 12).tolist())
+            for x in opt.X[self._n_y0:]
         )
+        X_pend = []
+        for p in (pending or []):
+            xu = np.asarray(space.to_unit(p), float)
+            key = tuple(np.round(xu, 12).tolist())
+            if told_since.get(key, 0) > 0:
+                told_since[key] -= 1
+                continue
+            X_pend.append(xu)
         while len(self.out) < self.n and len(X) + len(X_pend) < opt.n_initial:
             u = rng.random(len(space))
             self.out.append(space.from_unit(u))
@@ -388,9 +408,8 @@ class AskSession:
                 0.0, 1.0,
             ),
         ])
-        space_ = opt.space
         cand = np.asarray(
-            [space_.to_unit(space_.from_unit(u)) for u in cand], float
+            [space.to_unit(space.from_unit(u)) for u in cand], float
         )
         self.cand = cand
         n_cand = cand.shape[0]
@@ -542,9 +561,13 @@ class AskSession:
     def work(self, budget_s: float) -> bool:
         """Run steps until ~budget_s seconds elapse or the session is done.
 
-        Called between a device chunk's dispatch and its blocking fetch;
-        per-step granularity is ~1-10 ms, so overrun past the budget is
-        bounded by one step. Returns ``done``.
+        Called between a device chunk's dispatch and its blocking fetch.
+        Per-step granularity is ~1-10 ms, but the FIRST call also runs the
+        deferred setup (GP fit + pending extension, ~0.5-3 s at production
+        sizes) regardless of budget — by design: setup belongs in the gap,
+        and the alternative (an eager constructor) ran it synchronously
+        before dispatch where nothing hid it. Subsequent calls overrun
+        the budget by at most one step. Returns ``done``.
         """
         t0 = time.perf_counter()
         while not self._done:

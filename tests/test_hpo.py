@@ -441,6 +441,25 @@ class TestPipelinedAsk:
         # the conditioned batch must not re-suggest any of them
         assert not any(p in pend for p in got)
 
+    def test_pending_told_before_setup_not_double_counted(self):
+        """Setup is lazy, so a pending point whose tell lands BEFORE the
+        first step must leave the liar set (it is now a real opt.X row);
+        fantasizing it again would condition the GP on duplicate rows with
+        conflicting values (real loss vs incumbent liar)."""
+        _, opt = self._seeded_opt()
+        pend = opt.ask(6)
+        session = opt.ask_session(6, pending=pend)
+        # half the pending points observe real (bad) losses pre-setup
+        for p in pend[:3]:
+            opt.tell(p, 5.0)
+        n_real = len(opt.X)
+        session.work(0.0)  # first step: runs the deferred setup
+        # conditioning rows = real history + ONLY the still-in-flight
+        # pending (3) + the 1 fantasy appended by the step itself
+        assert session.m == n_real + 3 + 1
+        got = session.finish()
+        assert len(got) == 6
+
     def test_duplicate_pending_robust(self):
         # exact duplicate pending rows make the extension block singular;
         # the jitter/rank-1 fallback must still produce valid suggestions

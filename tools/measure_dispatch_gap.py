@@ -30,20 +30,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import bench
-    from flexynesis_tpu.parallel.trials import ParallelTrials
 
+    # reuse the bench's own headline-engine recipe (and its compile
+    # warm-up) so this tool diagnoses EXACTLY the engine the e2e section
+    # runs, not a hand-rolled near-copy that could drift
     gex, cnv, cls = bench._synth()
-    ds = bench._make_dataset(gex, cnv, cls)
-    from flexynesis_tpu.models.direct_pred import DirectPred
-
-    cfg = {"latent_dim": bench.LATENT, "hidden_dim_factor": bench.HIDDEN_FACTOR,
-           "lr": 1e-3, "supervisor_hidden_dim": bench.SUP_HIDDEN,
-           "epochs": bench.EPOCHS, "batch_size": bench.BATCH}
-    model = DirectPred(cfg, ds, target_variables=["subtype"])
-    n = len(ds)
-    tr, va = np.arange(int(n * 0.8)), np.arange(int(n * 0.8), n)
-    pt = ParallelTrials(model, ds)
     K = 512
+    bench.bench_tpu(gex, cnv, cls, k=K)
+    pt, tr, va = bench._HEADLINE_CACHE[K]
     lrs = np.full(K, 1e-3, np.float32)
 
     def run(host_work=None):
@@ -53,7 +47,6 @@ def main():
                epochs_per_eval=bench.EPOCHS, host_work=host_work)
         return time.perf_counter() - t0
 
-    print(f"warm-up (compile): {run():.1f}s", flush=True)
     base = min(run() for _ in range(2))
     print(f"baseline round (no host work): {base:.2f}s", flush=True)
 
