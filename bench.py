@@ -760,7 +760,11 @@ def _write_snapshot(result) -> None:
 _SECTION_EST_S = {
     "inference": 40,
     "ig": 12,
-    "large": 55,
+    # large overruns badly under tunnel contention (fair 39-47s, contended
+    # 180s+); it runs LAST, and this estimate decides clean-skip vs a
+    # mid-section deadline kill — use the contended median, not the fair
+    # minimum
+    "large": 90,
     "vae": 75,
     "gnn": 45,
     # measured section cost is ~35-45s (4-10s grid + one ~30s tunnel
@@ -1140,7 +1144,11 @@ def _main_body(budget_s: float):
 
     def run_section(key, name, fn):
         """Run one extra if it still fits in the budget; stream the result
-        (with its own wall time) into the snapshot as soon as it's done."""
+        (with its own wall time) into the snapshot as soon as it's done.
+        The in_progress marker is written BEFORE fn runs: a deadline-killed
+        worker then emits a line that still names every section and shows
+        which one the kill interrupted (a 2026-08-18 run was killed inside
+        large_single_model and the line silently lacked three sections)."""
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < _SECTION_EST_S[name]:
             extras[key] = {
@@ -1148,8 +1156,13 @@ def _main_body(budget_s: float):
                 "skipped_for_budget": True,
                 "remaining_s": round(remaining, 1),
             }
+            extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+            _write_snapshot(result)
             return
         t0 = time.perf_counter()
+        extras[key] = {"section": name, "in_progress": True}
+        extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+        _write_snapshot(result)
         try:
             r = fn()
             r["elapsed_s"] = round(time.perf_counter() - t0, 1)
@@ -1159,6 +1172,7 @@ def _main_body(budget_s: float):
                 "section": name,
                 "error": f"{type(e).__name__}: {e}"[:200],
             }
+        extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
         _write_snapshot(result)
 
     # priority order (VERDICT r2 #1): the cheap inference probe, then the
@@ -1175,18 +1189,12 @@ def _main_body(budget_s: float):
     # e2e runs early: it is the round-3 novel evidence (pipelined GP ask)
     # and costs no compile — it reuses the headline engine's chunk
     run_section("e2e_pipelined", "e2e", bench_e2e_pipelined)
-    # vae precedes large: both are judge-minimum sections, but large's
-    # observed cost overruns its estimate by up to 3x under tunnel
-    # contention (55s est, 180s seen) — run the accurately-estimated one
-    # first so a burst costs gnn/finetuner, not a minimum section
     run_section("supervised_vae", "vae", bench_vae)
-    run_section("large_single_model", "large", bench_large_model)
     run_section("gnn", "gnn", bench_gnn)
     # computed sequential e2e (engine rate + host GP cost serialized) —
     # kept as the comparison point for the MEASURED pipelined loop above.
-    # Computed BEFORE the last section: finetuner may legitimately start
-    # near the deadline (its estimate is optimistic since nothing follows
-    # it) and a mid-section kill must not drop this derived field.
+    # Computed BEFORE the last sections: they may legitimately run into
+    # the deadline and a mid-section kill must not drop this derived field.
     gp = extras.get("gp_overhead", {})
     gp_ms = gp.get("ms_per_suggestion_hist100")
     if gp_ms is not None and best_tph:
@@ -1197,8 +1205,14 @@ def _main_body(budget_s: float):
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)
 
+    # large runs LAST: its observed cost overruns its estimate by up to 3x
+    # under tunnel contention (55s est, 180s+ seen; one run was deadline-
+    # killed inside it, losing every section queued behind) — at the tail
+    # an overrun can only cost large itself, and the in_progress marker
+    # documents a mid-section kill
     run_section("finetuner", "finetuner",
                 lambda: bench_finetuner(gex, cnv, cls))
+    run_section("large_single_model", "large", bench_large_model)
 
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)
