@@ -607,7 +607,7 @@ def bench_inference(gex, cnv, cls, repeats=3, stream_len=20):
 
 
 def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10,
-                      fused=False):
+                      fused=False, publish=None):
     """Production-scale single DirectPred (16k-feature encoder, batch 1024):
     unlike the many-tiny-trials HPO path (HBM-bound by optimizer traffic),
     these shapes are MXU-compute-bound — this measures the framework's
@@ -652,8 +652,6 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10,
     # Best (smallest positive) of back-to-back paired diffs — pairing
     # cancels drift, min matches the best-of-N policy used elsewhere in
     # this bench for the tunnel's 2-4x contention swings.
-    run(epochs), run(3 * epochs)  # compile warm-ups for both chunk shapes
-    diffs = sorted(run(3 * epochs) - run(epochs) for _ in range(2))
     hidden = int(g * HIDDEN_FACTOR)
     flop_per_sample = 3 * 2 * (
         g * hidden + hidden * latent + latent * SUP_HIDDEN
@@ -666,22 +664,36 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10,
     # 2026-08-18 artifact reported MFU 1.12 from exactly that. Physical
     # floor: the diff cannot imply more than ~95% of the bf16 peak.
     wall_floor = samples * flop_per_sample / (0.95 * V5E_BF16_PEAK)
-    ok = [d for d in diffs if d >= wall_floor]
-    if not ok:  # contention corrupted every pairing: flag, don't fabricate
-        return {"measurement_unstable": True,
-                "paired_diffs_s": [round(d, 3) for d in diffs]}
-    wall = min(ok)
-    sps = samples / wall
-    return {
-        "samples_per_sec": round(sps, 0),
-        "mfu_est": round(sps * flop_per_sample / V5E_BF16_PEAK, 4),
-        "n_features": g, "latent_dim": latent, "batch_size": batch,
-        "bound_by": (
-            "MXU (compute-bound shapes; residual gap to peak = BatchNorm/"
-            "optimizer elementwise passes + the thin latent-side GEMMs)"
-        ),
-        "note": "single model at production scale",
-    }
+
+    def make_result(diffs):
+        ok = [d for d in diffs if d >= wall_floor]
+        if not ok:  # contention corrupted every pairing: don't fabricate
+            return {"measurement_unstable": True,
+                    "paired_diffs_s": [round(d, 3) for d in diffs]}
+        sps = samples / min(ok)
+        return {
+            "samples_per_sec": round(sps, 0),
+            "mfu_est": round(sps * flop_per_sample / V5E_BF16_PEAK, 4),
+            "n_features": g, "latent_dim": latent, "batch_size": batch,
+            "paired_diffs": len(diffs),
+            "bound_by": (
+                "MXU (compute-bound shapes; residual gap to peak = "
+                "BatchNorm/optimizer elementwise passes + the thin "
+                "latent-side GEMMs)"
+            ),
+            "note": "single model at production scale",
+        }
+
+    run(epochs), run(3 * epochs)  # compile warm-ups for both chunk shapes
+    diffs = []
+    for _ in range(2):
+        diffs.append(run(3 * epochs) - run(epochs))
+        if publish is not None:
+            # stream the best-so-far estimate: this section runs LAST into
+            # the deadline under contention, and a mid-section kill should
+            # preserve a 1-pair number instead of an in_progress marker
+            publish(make_result(diffs))
+    return make_result(diffs)
 
 
 def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
@@ -1212,7 +1224,13 @@ def _main_body(budget_s: float):
     # documents a mid-section kill
     run_section("finetuner", "finetuner",
                 lambda: bench_finetuner(gex, cnv, cls))
-    run_section("large_single_model", "large", bench_large_model)
+
+    def _publish_large(r):
+        extras["large_single_model"] = dict(r, partial=True)
+        _write_snapshot(result)
+
+    run_section("large_single_model", "large",
+                lambda: bench_large_model(publish=_publish_large))
 
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)
