@@ -975,7 +975,7 @@ def bench_ingestion(n_rows=5000, n_cols=1000):
                 pass
         if fastcsv._ensure_built() is None:
             return {"error": "native fastcsv unavailable"}
-        native_s, pandas_s = [], []
+
         # each arm runs back-to-back with its result dropped between
         # iterations, after one untimed warm-up: first-touch faults on a
         # fresh mmap region stall multi-second in this microVM guest
@@ -984,22 +984,22 @@ def bench_ingestion(n_rows=5000, n_cols=1000):
         # other's freed arena (2026-08-18 run: min-of-2 native still 2s).
         # Real ingestion parses each file once — warm-arena is the honest
         # parse cost for both arms.
-        a = fastcsv.read_matrix_csv(path, fallback=False)
-        shape_a = a.shape
-        del a
-        for _ in range(2):
-            t0 = time.perf_counter()
-            a = fastcsv.read_matrix_csv(path, fallback=False)
-            native_s.append(time.perf_counter() - t0)
-            del a
-        b = pd.read_csv(path, index_col=0)
-        shape_b = b.shape
-        del b
-        for _ in range(2):
-            t0 = time.perf_counter()
-            b = pd.read_csv(path, index_col=0)
-            pandas_s.append(time.perf_counter() - t0)
-            del b
+        def time_arm(parse):
+            out = parse()  # untimed warm-up primes the arena
+            shape = out.shape
+            del out
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = parse()
+                walls.append(time.perf_counter() - t0)
+                del out
+            return shape, walls
+
+        shape_a, native_s = time_arm(
+            lambda: fastcsv.read_matrix_csv(path, fallback=False)
+        )
+        shape_b, pandas_s = time_arm(lambda: pd.read_csv(path, index_col=0))
         assert shape_a == shape_b
     native, pandas_w = float(np.min(native_s)), float(np.min(pandas_s))
     return {

@@ -28,6 +28,24 @@ def get_variable_types(df: pd.DataFrame) -> Dict[str, str]:
     return types
 
 
+def covariate_column_groups(
+    covariates: List[str], variable_types: Dict[str, str], ann: pd.DataFrame
+) -> Dict[str, List[str]]:
+    """{covariate -> its matrix column names}, mirroring
+    ``create_covariate_matrix``'s naming (``var_<level>`` one-hot columns
+    for categorical, ``var`` itself for numerical). Recorded in the
+    inference artifacts so the covariate-rebuild guard knows exactly which
+    columns belong to which covariate (name-prefix matching is ambiguous
+    when one covariate's name prefixes another's)."""
+    groups: Dict[str, List[str]] = {}
+    for var in covariates:
+        if variable_types.get(var) == "categorical":
+            groups[var] = pd.get_dummies(ann[var], prefix=var).columns.tolist()
+        else:
+            groups[var] = [var]
+    return groups
+
+
 def create_covariate_matrix(
     covariates: List[str], variable_types: Dict[str, str], ann: pd.DataFrame
 ) -> pd.DataFrame:

@@ -372,8 +372,17 @@ class DataImporter:
 
         if self.covariates:
             print(f"[INFO] Building covariate matrix: {self.covariates}")
+            train_types = get_variable_types(train_ann)
             train_mats["covariates"] = create_covariate_matrix(
-                self.covariates, get_variable_types(train_ann), train_ann
+                self.covariates, train_types, train_ann
+            )
+            # per-covariate column grouping for the inference artifacts
+            # (the rebuild guard needs to know which trained columns
+            # belong to which covariate)
+            from .covariates import covariate_column_groups
+
+            self.covariate_columns = covariate_column_groups(
+                self.covariates, train_types, train_ann
             )
             test_mats["covariates"] = create_covariate_matrix(
                 self.covariates, get_variable_types(test_ann), test_ann

@@ -22,6 +22,14 @@ from .covariates import create_covariate_matrix, get_variable_types
 from .dataset import MultiOmicDataset
 
 
+def _encoder_mapping(enc) -> dict:
+    """code -> class-name mapping from a fitted OrdinalEncoder, with -1
+    (the unseen/missing sentinel) mapped to 'Unknown'."""
+    mapping = {int(i): c for i, c in enumerate(enc.categories_[0])}
+    mapping[-1] = "Unknown"
+    return mapping
+
+
 class DataImporterInference:
     def __init__(self, test_data_path: str, artifacts_path, verbose: bool = True):
         from ..inference import load_and_sniff_artifacts
@@ -146,9 +154,14 @@ class DataImporterInference:
                 # passes (e.g. a covariate one-hot in training parses
                 # numerical here, or its levels are spelled differently) —
                 # a whole-block-overlap check would let one healthy
-                # covariate mask another's silent degradation
+                # covariate mask another's silent degradation. Column
+                # ownership comes from the artifacts ('covariate_columns',
+                # recorded at training); name-prefix matching is the
+                # fallback for older artifacts (ambiguous when one
+                # covariate's name prefixes another's).
+                col_groups = self.artifacts.get("covariate_columns") or {}
                 for var in cov_vars:
-                    cols_v = [
+                    cols_v = col_groups.get(var) or [
                         c for c in train_cov_cols
                         if c == var or c.startswith(f"{var}_")
                     ]
@@ -192,10 +205,7 @@ class DataImporterInference:
                         )
                     ann[col] = encoded
                     variable_types[col] = "categorical"
-                    label_mappings[col] = {
-                        int(i): c for i, c in enumerate(enc.categories_[0])
-                    }
-                    label_mappings[col][-1] = "Unknown"
+                    label_mappings[col] = _encoder_mapping(enc)
                 else:
                     ann[col] = labels_df[col].to_numpy(dtype=np.float32)
                     variable_types[col] = "numerical"
@@ -209,10 +219,7 @@ class DataImporterInference:
         for var, enc in self.label_encoders.items():
             if var not in variable_types:
                 variable_types[var] = "categorical"
-                label_mappings[var] = {
-                    int(i): c for i, c in enumerate(enc.categories_[0])
-                }
-                label_mappings[var][-1] = "Unknown"
+                label_mappings[var] = _encoder_mapping(enc)
         for var in self.target_variables:
             variable_types.setdefault(var, "numerical")
 

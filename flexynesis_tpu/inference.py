@@ -179,6 +179,12 @@ def build_artifacts(
         "transforms": getattr(data_importer, "scalers", {}) or {},
         "label_encoders": getattr(data_importer, "label_encoders", {}) or {},
         "covariate_vars": list(covariates or []),
+        "covariate_columns": {
+            k: list(v)
+            for k, v in (
+                getattr(data_importer, "covariate_columns", {}) or {}
+            ).items()
+        },
         "join_key": join_key,
         "string_organism": string_organism,
         "string_node_name": string_node_name,
@@ -204,6 +210,11 @@ def write_artifacts(artifacts: dict, path: str, as_json: bool = False) -> str:
             "string_node_name",
         )
     }
+    # optional key (absent in pre-session-5 and reference-format artifacts)
+    if "covariate_columns" in artifacts:
+        json_ready["covariate_columns"] = {
+            k: list(v) for k, v in artifacts["covariate_columns"].items()
+        }
     json_ready["feature_lists"] = {
         m: list(f) for m, f in artifacts["feature_lists"].items()
     }

@@ -317,6 +317,30 @@ class TestUnlabeledCohort:
         assert ds.label_mappings["subtype"][-1] == "Unknown"
 
 
+def test_covariate_column_groups_recorded_in_artifacts(tmp_path):
+    """Training records {covariate -> its matrix columns} in the artifacts
+    so the inference rebuild guard doesn't rely on name-prefix matching
+    (ambiguous when one covariate's name prefixes another's)."""
+    from flexynesis_tpu.data.covariates import covariate_column_groups
+    from flexynesis_tpu.inference import build_artifacts
+    from flexynesis_tpu.utils.synthetic import write_synthetic_folder
+
+    p = tmp_path / "cc"
+    write_synthetic_folder(str(p), n_train=40, n_test=20, seed=5)
+    imp = DataImporter(
+        str(p), ["gex"], covariates=["age", "subtype"],
+        top_percentile=50, min_features=10,
+    )
+    train_ds, _ = imp.import_data()
+    groups = imp.covariate_columns
+    assert groups["age"] == ["age"]  # numerical -> itself
+    assert all(c.startswith("subtype_") for c in groups["subtype"])
+    art = build_artifacts(imp, ["gex"], ["subtype"], covariates=["age", "subtype"])
+    assert art["covariate_columns"] == groups
+    # the unit helper mirrors the matrix's actual columns
+    assert set(sum(groups.values(), [])) == set(train_ds.features["covariates"])
+
+
 def test_survival_baseline_raises_on_empty_cohort():
     """All-NaN survival columns must raise a clear ValueError, not crash
     deep inside sklearn (the CLI catches it and skips the comparison)."""
