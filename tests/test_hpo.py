@@ -39,6 +39,29 @@ class TestSpace:
             sp = get_search_space(name)
             assert "latent_dim" in sp.names and "lr" in sp.names
 
+    def test_snap_is_fixed_point(self):
+        """to_unit(from_unit(u)) must be a FIXED POINT after one
+        application: the GP ask's zero-solve fast path (gp.py AskSession)
+        snaps the candidate pool once and reuses a pool column only when
+        the re-derived unit point equals the snapped one exactly — if the
+        snap drifted, every step would fall back to the slow O(m^2)
+        triangular solve."""
+        dims = [
+            Integer(16, 128, name="a", quantize=16),
+            Integer(1, 3, name="e"),
+            Real(1e-4, 1e-2, name="b", prior="log-uniform"),
+            Real(0.2, 0.5, name="c"),
+            Categorical([32, 64, 128], name="d"),
+            Categorical(["relu", "tanh"], name="f"),
+        ]
+        space = SearchSpace(dims)
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            u = rng.random(len(dims))
+            snapped = space.to_unit(space.from_unit(u))
+            again = space.to_unit(space.from_unit(snapped))
+            np.testing.assert_array_equal(snapped, again)
+
 
 class TestGP:
     def test_gp_fits_smooth_function(self, rng):
