@@ -463,6 +463,35 @@ class TestHpoBatchDefault:
         out = capsys.readouterr().out
         assert "3 suggestions x 5 CV folds = 15 trials concurrently" in out
 
+    def test_cli_kitchen_sink_with_checkpoint_resume(
+        self, data_path, tmp_path, capsys
+    ):
+        """The maximal flag interaction — fused CV x batched ask x
+        pipelined session x early fusion x covariates x checkpoint — runs
+        end-to-end, and a rerun with a larger budget RESUMES instead of
+        restarting."""
+        outdir = str(tmp_path / "sink")
+        _write_small_space(outdir, "DirectPred")
+        args = [
+            "--model_class", "DirectPred",
+            "--data_types", "gex,cnv",
+            "--target_variables", "subtype",
+            "--covariates", "age",
+            "--fusion_type", "early",
+            "--use_cv",
+            "--hpo_iter", "2",
+            "--hpo_batch", "2",
+            "--hpo_pipeline", "True",
+            "--hpo_checkpoint", os.path.join(outdir, "hpo.json"),
+            "--disable_marker_finding",
+        ]
+        assert _run(data_path, outdir, args) == 0
+        capsys.readouterr()
+        args[args.index("2")] = "4"  # raise --hpo_iter
+        assert _run(data_path, outdir, args) == 0
+        out = capsys.readouterr().out
+        assert "Resuming HPO from iteration 2" in out
+
 
 class TestCLIValidation:
     def _expect_error(self, args):
