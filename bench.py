@@ -1180,10 +1180,14 @@ def _main_body(budget_s: float):
             r["elapsed_s"] = round(time.perf_counter() - t0, 1)
             extras[key] = r
         except Exception as e:  # a failed extra must not kill the headline
-            extras[key] = {
-                "section": name,
-                "error": f"{type(e).__name__}: {e}"[:200],
-            }
+            err = f"{type(e).__name__}: {e}"[:200]
+            prev = extras.get(key)
+            if isinstance(prev, dict) and not prev.get("in_progress"):
+                # a streamed partial result (large's publish hook) landed
+                # before the failure: keep the measurement, annotate it
+                extras[key] = dict(prev, error=err)
+            else:
+                extras[key] = {"section": name, "error": err}
         extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
         _write_snapshot(result)
 

@@ -28,28 +28,21 @@ def get_variable_types(df: pd.DataFrame) -> Dict[str, str]:
     return types
 
 
-def covariate_column_groups(
-    covariates: List[str], variable_types: Dict[str, str], ann: pd.DataFrame
-) -> Dict[str, List[str]]:
-    """{covariate -> its matrix column names}, mirroring
-    ``create_covariate_matrix``'s naming (``var_<level>`` one-hot columns
-    for categorical, ``var`` itself for numerical). Recorded in the
-    inference artifacts so the covariate-rebuild guard knows exactly which
-    columns belong to which covariate (name-prefix matching is ambiguous
-    when one covariate's name prefixes another's)."""
-    groups: Dict[str, List[str]] = {}
-    for var in covariates:
-        if variable_types.get(var) == "categorical":
-            groups[var] = pd.get_dummies(ann[var], prefix=var).columns.tolist()
-        else:
-            groups[var] = [var]
-    return groups
-
-
 def create_covariate_matrix(
-    covariates: List[str], variable_types: Dict[str, str], ann: pd.DataFrame
+    covariates: List[str],
+    variable_types: Dict[str, str],
+    ann: pd.DataFrame,
+    groups_out: Dict[str, List[str]] = None,
 ) -> pd.DataFrame:
-    """Features-as-rows covariate matrix from clinical variables."""
+    """Features-as-rows covariate matrix from clinical variables.
+
+    ``groups_out``: optional dict FILLED with {covariate -> its matrix
+    column names} from the same encoding pass — the inference artifacts
+    record it (post-harmonize) so the covariate-rebuild guard knows which
+    columns belong to which covariate without name-prefix matching (which
+    is ambiguous when one covariate's name prefixes another's) and
+    without a second encoding pass that could desynchronize from this
+    function's naming."""
     blocks = []
     names: List[str] = []
     for var in covariates:
@@ -58,11 +51,15 @@ def create_covariate_matrix(
             one_hot = pd.get_dummies(ann[var], prefix=var).astype(int)
             blocks.append(one_hot.T)
             names.extend(one_hot.columns.tolist())
+            if groups_out is not None:
+                groups_out[var] = one_hot.columns.tolist()
         elif vtype == "numerical":
             col = ann[[var]].copy()
             col[var] = col[var].fillna(col[var].median())
             blocks.append(col.T)
             names.append(var)
+            if groups_out is not None:
+                groups_out[var] = [var]
         else:
             raise ValueError(f"Unknown variable type for {var}: {vtype}")
     mat = pd.concat(blocks, axis=0)

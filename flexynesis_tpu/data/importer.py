@@ -372,22 +372,26 @@ class DataImporter:
 
         if self.covariates:
             print(f"[INFO] Building covariate matrix: {self.covariates}")
-            train_types = get_variable_types(train_ann)
-            train_mats["covariates"] = create_covariate_matrix(
-                self.covariates, train_types, train_ann
-            )
             # per-covariate column grouping for the inference artifacts
             # (the rebuild guard needs to know which trained columns
-            # belong to which covariate)
-            from .covariates import covariate_column_groups
-
-            self.covariate_columns = covariate_column_groups(
-                self.covariates, train_types, train_ann
+            # belong to which covariate); filled by the same encoding pass
+            groups: dict = {}
+            train_mats["covariates"] = create_covariate_matrix(
+                self.covariates, get_variable_types(train_ann), train_ann,
+                groups_out=groups,
             )
             test_mats["covariates"] = create_covariate_matrix(
                 self.covariates, get_variable_types(test_ann), test_ann
             )
             train_mats, test_mats = self.harmonize(train_mats, test_mats)
+            # harmonize() intersects the train/test covariate ROWS, so the
+            # recorded groups must keep only columns the model actually
+            # trains on — pre-harmonize levels would let the inference
+            # guard pass via a never-trained column
+            kept = set(train_mats["covariates"].index)
+            self.covariate_columns = {
+                v: [c for c in cols if c in kept] for v, cols in groups.items()
+            }
 
         training_dataset = self.get_dataset(train_mats, train_ann, train_samples)
         testing_dataset = self.get_dataset(test_mats, test_ann, test_samples)

@@ -165,6 +165,11 @@ class DataImporterInference:
                         c for c in train_cov_cols
                         if c == var or c.startswith(f"{var}_")
                     ]
+                    # only TRAINED columns count: a recorded group could
+                    # carry levels the model never trained on (older
+                    # artifacts recorded groups pre-harmonize), and a
+                    # never-trained column must not satisfy the guard
+                    cols_v = [c for c in cols_v if c in train_set]
                     if cols_v and not any(c in cov_set for c in cols_v):
                         raise ValueError(
                             f"Inference covariates: none of '{var}'s "

@@ -487,7 +487,7 @@ class TestHpoBatchDefault:
         ]
         assert _run(data_path, outdir, args) == 0
         capsys.readouterr()
-        args[args.index("2")] = "4"  # raise --hpo_iter
+        args[args.index("--hpo_iter") + 1] = "4"  # raise the budget
         assert _run(data_path, outdir, args) == 0
         out = capsys.readouterr().out
         assert "Resuming HPO from iteration 2" in out

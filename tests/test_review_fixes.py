@@ -320,8 +320,10 @@ class TestUnlabeledCohort:
 def test_covariate_column_groups_recorded_in_artifacts(tmp_path):
     """Training records {covariate -> its matrix columns} in the artifacts
     so the inference rebuild guard doesn't rely on name-prefix matching
-    (ambiguous when one covariate's name prefixes another's)."""
-    from flexynesis_tpu.data.covariates import covariate_column_groups
+    (ambiguous when one covariate's name prefixes another's). The groups
+    are recorded POST-harmonize: a level present only in the training (or
+    only the test) split never trains, and letting it satisfy the rebuild
+    guard would mask an all-zero block for the covariate."""
     from flexynesis_tpu.inference import build_artifacts
     from flexynesis_tpu.utils.synthetic import write_synthetic_folder
 
@@ -337,7 +339,7 @@ def test_covariate_column_groups_recorded_in_artifacts(tmp_path):
     assert all(c.startswith("subtype_") for c in groups["subtype"])
     art = build_artifacts(imp, ["gex"], ["subtype"], covariates=["age", "subtype"])
     assert art["covariate_columns"] == groups
-    # the unit helper mirrors the matrix's actual columns
+    # the recorded groups are exactly the TRAINED covariate columns
     assert set(sum(groups.values(), [])) == set(train_ds.features["covariates"])
 
 
