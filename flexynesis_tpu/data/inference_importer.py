@@ -129,17 +129,35 @@ class DataImporterInference:
                 # positionally with the trained input width. Missing
                 # training columns zero-fill (the one-hot "level absent"
                 # encoding); unseen test levels are dropped.
+                col_groups = self.artifacts.get("covariate_columns") or {}
                 if early_fusion:
-                    omics_feats = set(
-                        chain(*[
-                            list(self.scalers[m].feature_names_in_)
-                            for m in to_load
-                        ])
-                    )
-                    train_cov_cols = [
-                        f for f in self.feature_names["all"]
-                        if f not in omics_feats
-                    ]
+                    recorded = {
+                        c for cols in col_groups.values() for c in cols
+                    }
+                    if recorded:
+                        # the recorded per-covariate groups are
+                        # authoritative: a covariate one-hot column whose
+                        # name collides with an omics feature would be
+                        # misclassified as omics by the set-difference
+                        # below (zero-filling it and skewing the reindex).
+                        # Intersect with the trained 'all' block so groups
+                        # recorded pre-harmonize by older artifacts cannot
+                        # inject never-trained columns.
+                        train_cov_cols = [
+                            f for f in self.feature_names["all"]
+                            if f in recorded
+                        ]
+                    else:  # older artifacts: set-difference fallback
+                        omics_feats = set(
+                            chain(*[
+                                list(self.scalers[m].feature_names_in_)
+                                for m in to_load
+                            ])
+                        )
+                        train_cov_cols = [
+                            f for f in self.feature_names["all"]
+                            if f not in omics_feats
+                        ]
                 else:
                     train_cov_cols = list(
                         self.feature_names.get("covariates", cov.columns)
@@ -159,7 +177,6 @@ class DataImporterInference:
                 # recorded at training); name-prefix matching is the
                 # fallback for older artifacts (ambiguous when one
                 # covariate's name prefixes another's).
-                col_groups = self.artifacts.get("covariate_columns") or {}
                 for var in cov_vars:
                     cols_v = col_groups.get(var) or [
                         c for c in train_cov_cols

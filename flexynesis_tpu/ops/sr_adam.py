@@ -108,10 +108,15 @@ def q8_encode_m(m32, seed):
     Linear symmetric quantization with stochastic rounding: unbiased, and
     the EMA re-accumulates fresh gradient every step so stale quantization
     noise decays geometrically (stationary error std ~= absmax/110).
+    Clipping happens AFTER the dither so in-range values round without
+    bias; only values pushed past +/-127 by float error in 127/s (the
+    scale is the row absmax, so nothing sits truly out of range) saturate.
     """
     s = jnp.maximum(jnp.max(jnp.abs(m32), axis=-1, keepdims=True), 1e-30)
-    x = jnp.clip(m32 * (127.0 / s), -127.0, 127.0)
-    q = jnp.floor(x + _u01(m32.shape, seed)).astype(jnp.int8)
+    x = m32 * (127.0 / s)
+    q = jnp.clip(
+        jnp.floor(x + _u01(m32.shape, seed)), -127.0, 127.0
+    ).astype(jnp.int8)
     return {"q": q, "s": s}
 
 

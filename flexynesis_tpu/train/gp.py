@@ -170,9 +170,14 @@ class BayesianOptimizer:
         # point). A plain "last strategy" scalar misattributes under
         # batched asks (n suggestions, n tells, one scalar) and under
         # pipelined asks (round N+1's session steps interleave with round
-        # N's tells); entries are popped by tell(), so the map stays
-        # bounded by the number of suggestions in flight.
+        # N's tells); entries are popped by tell(). A suggestion whose
+        # trial dies is never told, so on top of the pop the map is swept
+        # by age: entries older than _PENDING_TTL_TELLS tells are dropped
+        # (any live pipelined suggestion is told within ~2 rounds), keeping
+        # the map bounded on long sweeps with crashed trials.
         self._pending_strategy: dict = {}
+        self._pending_age: dict = {}
+        self._tell_count = 0
 
     # ----------------------------------------------------------- persistence
 
@@ -182,6 +187,15 @@ class BayesianOptimizer:
             "y": list(map(float, self.y)),
             "rng_state": self.rng.bit_generator.state,
             "gains": self._gains.tolist(),
+            # in-flight strategy attributions survive checkpoint/resume so
+            # tells for suggestions that were pending at save time still
+            # credit the gp_hedge gains (keys are tuples -> listified for
+            # JSON; ages ride along for the staleness sweep)
+            "pending_strategy": [
+                [list(k), v, self._pending_age.get(k, 0)]
+                for k, v in self._pending_strategy.items()
+            ],
+            "tell_count": self._tell_count,
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -189,6 +203,13 @@ class BayesianOptimizer:
         self.y = list(state["y"])
         self.rng.bit_generator.state = state["rng_state"]
         self._gains = np.asarray(state.get("gains", [0.0, 0.0, 0.0]))
+        self._pending_strategy = {
+            tuple(k): list(v) for k, v, _ in state.get("pending_strategy", [])
+        }
+        self._tell_count = int(state.get("tell_count", len(self.y)))
+        self._pending_age = {
+            tuple(k): int(a) for k, _, a in state.get("pending_strategy", [])
+        }
 
     # ------------------------------------------------------------- ask/tell
 
@@ -204,19 +225,33 @@ class BayesianOptimizer:
             np.round(np.asarray(self.space.to_unit(params), float), 12).tolist()
         )
 
+    # abandoned-suggestion TTL, in tells: any live suggestion (even a
+    # pipelined one noted a round early) is told within ~2 rounds of
+    # <=1024 trials each, so 4096 tells of silence means the trial died
+    _PENDING_TTL_TELLS = 4096
+
     def _note_strategy(self, params: dict, strategy: int) -> None:
-        self._pending_strategy.setdefault(
-            self._strategy_key(params), []
-        ).append(strategy)
+        key = self._strategy_key(params)
+        self._pending_strategy.setdefault(key, []).append(strategy)
+        self._pending_age[key] = self._tell_count
 
     def _pop_strategy(self, params: dict):
-        lst = self._pending_strategy.get(self._strategy_key(params))
+        key = self._strategy_key(params)
+        lst = self._pending_strategy.get(key)
         if not lst:
             return None
         s = lst.pop(0)
         if not lst:
-            del self._pending_strategy[self._strategy_key(params)]
+            del self._pending_strategy[key]
+            self._pending_age.pop(key, None)
         return s
+
+    def _sweep_stale_pending(self) -> None:
+        cutoff = self._tell_count - self._PENDING_TTL_TELLS
+        stale = [k for k, a in self._pending_age.items() if a < cutoff]
+        for k in stale:
+            self._pending_strategy.pop(k, None)
+            self._pending_age.pop(k, None)
 
     def ask(self, n: int = 1, pending: Optional[List[dict]] = None) -> List[dict]:
         """Suggest n parameter dicts; batched via constant-liar fantasies.
@@ -266,6 +301,9 @@ class BayesianOptimizer:
             # reward the strategy that produced this suggestion with the
             # (negated) observed loss — better observations grow its gain
             self._gains[strategy] += -value
+        self._tell_count += 1
+        if self._pending_strategy and self._tell_count % 512 == 0:
+            self._sweep_stale_pending()  # drop never-told (crashed) entries
 
     @property
     def best(self):

@@ -436,6 +436,47 @@ class TestPipelinedAsk:
             opt.tell(p, v)
         assert not opt._pending_strategy
 
+    def test_pending_strategy_survives_state_roundtrip(self):
+        # hedge credit for suggestions in flight at checkpoint time must
+        # survive save/load: the resumed optimizer's tell() still pops the
+        # pending strategy and updates the gains (round-3 advisor finding)
+        space, opt = self._seeded_opt()
+        sugg = opt.ask(4)
+        assert opt._pending_strategy
+        state = json.loads(json.dumps(opt.state_dict()))
+        opt2 = BayesianOptimizer(space, n_initial_points=10, seed=99)
+        opt2.load_state_dict(state)
+        assert opt2._pending_strategy == opt._pending_strategy
+        gains_before = opt2._gains.copy()
+        for p in sugg:
+            opt2.tell(p, 1.5)
+        assert not opt2._pending_strategy
+        np.testing.assert_allclose(
+            float((opt2._gains - gains_before).sum()), -4 * 1.5
+        )
+
+    def test_abandoned_pending_strategy_ages_out(self):
+        # a suggestion whose trial crashes is never told; its map entry
+        # must not accumulate forever on long sweeps (round-3 advisor
+        # finding). TTL shrunk instance-side so the test stays fast; the
+        # sweep itself triggers on the real every-512-tells cadence.
+        # Continuous 1-d space: random filler tells cannot collide with
+        # (and hence pop) the abandoned key — only the sweep can clear it.
+        space = SearchSpace([Real(0, 1, name="x")])
+        opt = BayesianOptimizer(space, n_initial_points=4, seed=3)
+        opt._PENDING_TTL_TELLS = 8
+        rng = np.random.default_rng(0)
+        for _ in range(6):  # past random warm-up so ask() notes strategies
+            opt.tell(space.sample(rng), float(rng.normal()))
+        opt.ask(2)  # noted, never told (the "crashed trial")
+        assert opt._pending_strategy
+        start = opt._tell_count
+        # enough tells to cross the next multiple of 512 past the TTL
+        for _ in range(512 + (512 - start % 512)):
+            opt.tell(space.sample(rng), float(rng.normal()))
+        assert not opt._pending_strategy
+        assert not opt._pending_age
+
     def test_session_slicing_matches_one_shot(self):
         # producing suggestions through many tiny work() slices must give
         # byte-identical results to one finish() (and hence to ask())
