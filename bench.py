@@ -39,9 +39,11 @@ perf lever here is trial fan-out (K) + state compression, not kernel
 fusion. MFU is reported for reference but is not the binding
 constraint at HPO shapes: the same training pipeline at production scale
 (16k-feature encoder, batch 1024 — bench_large_model) measures 44-72% MFU
-(~177-290k samples/s across tunnel-contention conditions; driver-captured
-in BENCH_r03), i.e. the low HPO-path MFU is a property of the tiny
-per-trial workload, not of the framework.
+(~177-290k samples/s across tunnel-contention conditions; builder-measured
+2026-08-17/18 — the r03 driver run OOM'd before this section, which is why
+sections now run on a freed chip with OOM retry, see SectionRunner), i.e.
+the low HPO-path MFU is a property of the tiny per-trial workload, not of
+the framework.
 """
 
 from __future__ import annotations
@@ -792,6 +794,126 @@ _SECTION_EST_S = {
 _HEADLINE_CACHE = {}
 
 
+def _free_hbm() -> None:
+    """Drop every cross-section device reference so the next section starts
+    on a clean chip. The round-3 driver run died here: _HEADLINE_CACHE
+    pinned the K=512 headline engine (stacked params + Adam state) in HBM
+    for the whole process, so building the K=1024 VAE engine on a chip
+    whose HBM the headline shapes already half-fill OOM'd every section
+    compiled after it (BENCH_r03: gnn/finetuner/large all
+    RESOURCE_EXHAUSTED with 150s of budget unused)."""
+    import gc
+
+    import jax
+
+    _HEADLINE_CACHE.clear()
+    gc.collect()  # weakref-keyed engine jit caches die with their engines
+    jax.clear_caches()  # compiled executables + their inlined constants
+
+
+def _is_oom(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
+
+
+class SectionRunner:
+    """Budget-gated section execution with OOM recovery.
+
+    Each section: (1) skipped cleanly if the remaining budget can't cover
+    its estimated cost; (2) streamed into the snapshot the moment it
+    finishes; (3) on RESOURCE_EXHAUSTED, the chip is freed (_free_hbm) and
+    the section retried ONCE — via ``fallback`` (typically the same bench
+    at reduced K) when given, else the same fn — so one allocation failure
+    neither loses the number nor cascades into later sections; (4) on any
+    terminal failure the chip is freed again before moving on.
+    Module-level (not a closure) so tests can drive the degradation path
+    directly (tests/test_bench_sections.py)."""
+
+    def __init__(self, extras, result, budget_s, t_start=None,
+                 est=None, write=None, free=None):
+        self.extras = extras
+        self.result = result
+        self.budget_s = budget_s
+        self.t_start = time.perf_counter() if t_start is None else t_start
+        self.est = _SECTION_EST_S if est is None else est
+        self.write = _write_snapshot if write is None else write
+        self.free = _free_hbm if free is None else free
+
+    def _remaining(self) -> float:
+        return self.budget_s - (time.perf_counter() - self.t_start)
+
+    def _flush(self) -> None:
+        self.extras["total_wall_s"] = round(
+            time.perf_counter() - self.t_start, 1
+        )
+        self.write(self.result)
+
+    def _record_error(self, key, name, err) -> None:
+        prev = self.extras.get(key)
+        if isinstance(prev, dict) and not prev.get("in_progress"):
+            # a streamed partial result (large's publish hook) landed
+            # before the failure: keep the measurement, annotate it
+            self.extras[key] = dict(prev, error=err)
+        else:
+            self.extras[key] = {"section": name, "error": err}
+
+    def run(self, key, name, fn, fallback=None) -> None:
+        remaining = self._remaining()
+        if remaining < self.est[name]:
+            self.extras[key] = {
+                "section": name,
+                "skipped_for_budget": True,
+                "remaining_s": round(remaining, 1),
+            }
+            self._flush()
+            return
+        t0 = time.perf_counter()
+        # the in_progress marker is written BEFORE fn runs: a deadline-
+        # killed worker then emits a line that still names every section
+        # and shows which one the kill interrupted
+        self.extras[key] = {"section": name, "in_progress": True}
+        self._flush()
+        try:
+            r = fn()
+        except Exception as e:  # a failed extra must not kill the headline
+            err = f"{type(e).__name__}: {e}"[:200]
+            if not _is_oom(e):
+                self._record_error(key, name, err)
+                self._flush()
+                return
+            # OOM: free the chip no matter what happens next — later
+            # sections must never see the poisoned allocator state
+            self.free()
+            if self._remaining() < self.est[name]:
+                self._record_error(
+                    key, name, err + " (no budget left to retry)"
+                )
+                self._flush()
+                return
+            partial = self.extras.get(key)  # a streamed partial, if any
+            self.extras[key] = {
+                "section": name, "in_progress": True, "retrying_after_oom": True,
+            }
+            self._flush()
+            try:
+                r = (fallback or fn)()
+                r["retried_after_oom"] = True
+                r["first_error"] = err
+            except Exception as e2:
+                self.extras[key] = partial  # _record_error keeps a partial
+                self._record_error(
+                    key, name,
+                    f"{err}; retry: {type(e2).__name__}: {e2}"[:300],
+                )
+                if _is_oom(e2):
+                    self.free()
+                self._flush()
+                return
+        r["elapsed_s"] = round(time.perf_counter() - t0, 1)
+        self.extras[key] = r
+        self._flush()
+
+
 def bench_e2e_pipelined(n_rounds=2):
     """MEASURED end-to-end HPO including the Bayesian optimizer.
 
@@ -1154,42 +1276,8 @@ def _main_body(budget_s: float):
         EPOCHS * (N_SAMPLES // BATCH) * BATCH / torch_trial_s, 0
     )
 
-    def run_section(key, name, fn):
-        """Run one extra if it still fits in the budget; stream the result
-        (with its own wall time) into the snapshot as soon as it's done.
-        The in_progress marker is written BEFORE fn runs: a deadline-killed
-        worker then emits a line that still names every section and shows
-        which one the kill interrupted (a 2026-08-18 run was killed inside
-        large_single_model and the line silently lacked three sections)."""
-        remaining = budget_s - (time.perf_counter() - t_start)
-        if remaining < _SECTION_EST_S[name]:
-            extras[key] = {
-                "section": name,
-                "skipped_for_budget": True,
-                "remaining_s": round(remaining, 1),
-            }
-            extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
-            _write_snapshot(result)
-            return
-        t0 = time.perf_counter()
-        extras[key] = {"section": name, "in_progress": True}
-        extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
-        _write_snapshot(result)
-        try:
-            r = fn()
-            r["elapsed_s"] = round(time.perf_counter() - t0, 1)
-            extras[key] = r
-        except Exception as e:  # a failed extra must not kill the headline
-            err = f"{type(e).__name__}: {e}"[:200]
-            prev = extras.get(key)
-            if isinstance(prev, dict) and not prev.get("in_progress"):
-                # a streamed partial result (large's publish hook) landed
-                # before the failure: keep the measurement, annotate it
-                extras[key] = dict(prev, error=err)
-            else:
-                extras[key] = {"section": name, "error": err}
-        extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
-        _write_snapshot(result)
+    sections = SectionRunner(extras, result, budget_s, t_start=t_start)
+    run_section = sections.run
 
     # priority order (VERDICT r2 #1): the cheap inference probe, then the
     # three sections carrying previously-unverified claims (ig, large-model
@@ -1205,8 +1293,16 @@ def _main_body(budget_s: float):
     # e2e runs early: it is the round-3 novel evidence (pipelined GP ask)
     # and costs no compile — it reuses the headline engine's chunk
     run_section("e2e_pipelined", "e2e", bench_e2e_pipelined)
-    run_section("supervised_vae", "vae", bench_vae)
-    run_section("gnn", "gnn", bench_gnn)
+    # the headline engine exists ONLY for e2e's reuse: release it (and
+    # every compiled program) before the remaining engine builds — in
+    # BENCH_r03 it stayed pinned in HBM and every section compiled after
+    # the K=1024 VAE died RESOURCE_EXHAUSTED (round-3 verdict, weak #1)
+    _free_hbm()
+    run_section("supervised_vae", "vae", bench_vae,
+                fallback=lambda: dict(bench_vae(k=512), retried_at_k=512))
+    _free_hbm()
+    run_section("gnn", "gnn", bench_gnn,
+                fallback=lambda: dict(bench_gnn(k=256), retried_at_k=256))
     # computed sequential e2e (engine rate + host GP cost serialized) —
     # kept as the comparison point for the MEASURED pipelined loop above.
     # Computed BEFORE the last sections: they may legitimately run into
@@ -1221,20 +1317,26 @@ def _main_body(budget_s: float):
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)
 
-    # large runs LAST: its observed cost overruns its estimate by up to 3x
-    # under tunnel contention (55s est, 180s+ seen; one run was deadline-
-    # killed inside it, losing every section queued behind) — at the tail
-    # an overrun can only cost large itself, and the in_progress marker
-    # documents a mid-section kill
-    run_section("finetuner", "finetuner",
-                lambda: bench_finetuner(gex, cnv, cls))
-
+    # the two overrun-prone sections run at the tail (observed up to 3x
+    # their estimates under tunnel contention; a 2026-08-18 run measured
+    # large 158s vs est 90 and finetuner 108s vs est 45). large runs FIRST
+    # of the two: its MFU is the highest-priority claim (driver-missing for
+    # three rounds) and it streams 1-pair partials, so if anything is
+    # deadline-killed it should be finetuner, whose in_progress marker
+    # documents the kill.
     def _publish_large(r):
         extras["large_single_model"] = dict(r, partial=True)
         _write_snapshot(result)
 
+    _free_hbm()
     run_section("large_single_model", "large",
-                lambda: bench_large_model(publish=_publish_large))
+                lambda: bench_large_model(publish=_publish_large),
+                fallback=lambda: bench_large_model(publish=_publish_large))
+
+    _free_hbm()
+    run_section("finetuner", "finetuner",
+                lambda: bench_finetuner(gex, cnv, cls),
+                fallback=lambda: bench_finetuner(gex, cnv, cls))
 
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)

@@ -152,6 +152,19 @@ class BaseModel:
         """Model-specific additional loss terms (e.g. VAE MMD)."""
         return {}
 
+    def _loss_apply_args(self, batch: Dict[str, Any]) -> tuple:
+        """Extra positional args for _apply, drawn from the BATCH pytree.
+
+        Large per-model constants (the GNN's dense adjacency operator) must
+        reach jitted training programs as arguments, not closure constants:
+        a closed-over array inlines into the HLO, which the remote-compile
+        tunnel rejects past ~10 MB (HTTP 413 — e.g. a 2k-node STRING graph
+        is a 16 MB operator). Models stash such constants in make_batch
+        under "_"-prefixed keys (broadcast whole by every batcher: trainer,
+        ParallelTrials, vmapped_grid_fit) and pull them back out here.
+        """
+        return ()
+
     # ------------------------------------------------------------ training API
 
     def init_params(self, dataset: MultiOmicDataset, seed: int = 42):
@@ -184,7 +197,10 @@ class BaseModel:
         extra_rng = None
         if rng is not None:
             apply_rng, extra_rng = jax.random.split(rng)
-        out, new_stats = self._apply(params, batch_stats, batch["x"], apply_rng, train)
+        out, new_stats = self._apply(
+            params, batch_stats, batch["x"], apply_rng, train,
+            *self._loss_apply_args(batch),
+        )
         losses = supervised_loss_terms(
             out["outputs"],
             batch["y"],

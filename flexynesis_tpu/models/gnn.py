@@ -130,16 +130,32 @@ class GNN(BaseModel):
         self.batch_stats = variables.get("batch_stats", {})
         return self.params, self.batch_stats
 
-    def _apply(self, params, batch_stats, x, rng, train):
+    def make_batch(self, dataset, indices=None):
+        # the dense operator rides in the batch under a "_" key (broadcast
+        # whole by trainer/ParallelTrials/vmapped_grid_fit, never row-
+        # sliced) so jitted TRAINING programs receive it as an argument —
+        # added after the index slicing on purpose
+        batch = super().make_batch(dataset, indices)
+        batch["_adj"] = self._adj
+        return batch
+
+    def _loss_apply_args(self, batch) -> tuple:
+        # see BaseModel._loss_apply_args: a closed-over 2k-node operator
+        # (16 MB) inlines into the HLO and trips the tunnel's HTTP 413
+        adj = batch.get("_adj")
+        return (adj,) if adj is not None else ()
+
+    def _apply(self, params, batch_stats, x, rng, train, adj=None):
         variables = {"params": params, "batch_stats": batch_stats}
+        adj = self._adj if adj is None else adj
         if train:
             rngs = {"dropout": rng}
             out, mut = self.module.apply(
-                variables, x, self._adj, train=True, rngs=rngs,
+                variables, x, adj, train=True, rngs=rngs,
                 mutable=["batch_stats"],
             )
             return out, mut["batch_stats"]
-        out = self.module.apply(variables, x, self._adj, train=False)
+        out = self.module.apply(variables, x, adj, train=False)
         return out, batch_stats
 
     def _eval_extra_args(self) -> tuple:

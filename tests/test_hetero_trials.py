@@ -365,6 +365,50 @@ class TestVAEHetero:
         )
         assert np.all(np.isfinite(out["best_val_loss"]))
 
+    def test_vae_mixed_round_mesh_sharded_matches_unsharded(self, rng):
+        """Round-3 verdict item 3 (VAE variant): the padded VAE group's
+        per-trial aux pytree (latent masks for the exact small-architecture
+        MMD) must shard over the trial mesh alongside params, and the
+        sharded round must reproduce the unsharded losses."""
+        from flexynesis_tpu.models.supervised_vae import SupervisedVAE
+        from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
+        from flexynesis_tpu.parallel.mesh import get_mesh
+        from flexynesis_tpu.parallel.trials import vmapped_grid_fit
+
+        ds = make_ds(rng, n=64)
+        configs = [
+            small_cfg(latent_dim=16, lr=0.01),
+            small_cfg(latent_dim=32, supervisor_hidden_dim=16, lr=0.005),
+        ] * 4
+        template_cfg = max_config(configs, [40, 20])
+        model = SupervisedVAE(template_cfg, ds, target_variables=["subtype"])
+        trials = build_padded_trials(model, configs, seeds=np.arange(8))
+        common = dict(
+            start_params=trials["params"], start_stats=trials["batch_stats"],
+            lrs=np.asarray([c["lr"] for c in configs], np.float32),
+            seeds=np.arange(8),
+            train_idx=np.tile(np.arange(48), (8, 1)),
+            val_idx=np.tile(np.arange(48, 64), (8, 1)),
+            masks=trials["masks"], aux=trials["aux"],
+        )
+        mesh = get_mesh((("trial", 8),))
+        # strict one-step arm + loose multi-epoch arm: see the GNN variant
+        # for why multi-iteration scans only agree statistically
+        strict = dict(common, batch_size=48, max_epochs=1,
+                      param_dtype="float32")
+        out_plain = vmapped_grid_fit(model, ds, **strict)
+        out_mesh = vmapped_grid_fit(model, ds, mesh=mesh, **strict)
+        np.testing.assert_allclose(
+            out_mesh["best_val_loss"], out_plain["best_val_loss"], atol=1e-4
+        )
+        loose = dict(common, batch_size=16, max_epochs=4)
+        out_plain = vmapped_grid_fit(model, ds, **loose)
+        out_mesh = vmapped_grid_fit(model, ds, mesh=mesh, **loose)
+        assert np.all(np.isfinite(out_mesh["best_val_loss"]))
+        np.testing.assert_allclose(
+            out_mesh["best_val_loss"], out_plain["best_val_loss"], rtol=5e-2
+        )
+
     def test_vae_mixed_round_trains(self, rng):
         from flexynesis_tpu.models.supervised_vae import SupervisedVAE
         from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
@@ -495,6 +539,60 @@ class TestGNNHetero:
             batch_size=16, max_epochs=8,
         )
         assert np.all(np.isfinite(out["best_val_loss"]))
+
+    def test_gnn_mixed_round_mesh_sharded_matches_unsharded(self, rng):
+        """Round-3 verdict item 3: a padded NON-DirectPred hetero group
+        sharded over the 8-device trial mesh must reproduce the unsharded
+        result. The GNN case also proves the adjacency-as-batch-argument
+        contract (models/gnn.py make_batch '_adj' broadcast entry) composes
+        with NamedSharding: per-trial params/opt/masks shard across the
+        trial axis while the dense operator broadcasts whole."""
+        from flexynesis_tpu.models.gnn import GNN
+        from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
+        from flexynesis_tpu.parallel.mesh import get_mesh
+        from flexynesis_tpu.parallel.trials import vmapped_grid_fit
+
+        ds = self._nw_ds(rng, n=64)
+        configs = [
+            self._gnn_cfg(node_embedding_dim=4, lr=0.01),
+            self._gnn_cfg(node_embedding_dim=8, latent_dim=32, lr=0.005),
+        ] * 4  # 8 trials -> one per device on the trial mesh
+        template_cfg = max_config(configs, [ds.dat["all"].shape[1]])
+        model = GNN(template_cfg, ds, target_variables=["subtype"],
+                    gnn_conv_type="GC")
+        trials = build_padded_trials(model, configs, seeds=np.arange(8))
+        common = dict(
+            start_params=trials["params"], start_stats=trials["batch_stats"],
+            lrs=np.asarray([c["lr"] for c in configs], np.float32),
+            seeds=np.arange(8),
+            train_idx=np.tile(np.arange(48), (8, 1)),
+            val_idx=np.tile(np.arange(48, 64), (8, 1)),
+            masks=trials["masks"],
+        )
+        mesh = get_mesh((("trial", 8),))
+        # strict arm: one full-batch step — sharded and unsharded programs
+        # agree to float-rounding level when no scan iteration feeds the
+        # next (measured maxabs 0.0 at f32 here; ~5e-5 at other shapes —
+        # GSPMD compiles different instruction orderings, never bitwise-
+        # guaranteed). Multi-iteration scans amplify that per-step rounding
+        # through lr=0.01 + BatchNorm to ~1e-3/step at these tiny shapes
+        # (same effect the fused-CV parity test bounds at rtol=2e-3) —
+        # hence the separate loose multi-epoch arm below.
+        strict = dict(common, batch_size=48, max_epochs=1,
+                      param_dtype="float32")
+        out_plain = vmapped_grid_fit(model, ds, **strict)
+        out_mesh = vmapped_grid_fit(model, ds, mesh=mesh, **strict)
+        np.testing.assert_allclose(
+            out_mesh["best_val_loss"], out_plain["best_val_loss"], atol=1e-4
+        )
+        # loose arm: real multi-epoch training stays statistically equivalent
+        loose = dict(common, batch_size=16, max_epochs=4)
+        out_plain = vmapped_grid_fit(model, ds, **loose)
+        out_mesh = vmapped_grid_fit(model, ds, mesh=mesh, **loose)
+        assert np.all(np.isfinite(out_mesh["best_val_loss"]))
+        np.testing.assert_allclose(
+            out_mesh["best_val_loss"], out_plain["best_val_loss"], rtol=5e-2
+        )
 
     def test_bucket_key_splits_on_num_convs(self):
         from flexynesis_tpu.parallel.hetero import bucket_key

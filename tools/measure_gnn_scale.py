@@ -1,0 +1,130 @@
+"""GNN throughput at realistic STRING-graph scale (round-3 verdict item 6).
+
+bench_gnn measures 300 nodes; real STRING subgraphs run 2-15k nodes
+(reference data.py:1209-1248 builds the gene network from STRING edges;
+modules.py:250 flattens nodes x emb into the readout FC). This script
+measures trials/h and samples/s at >=2k nodes for BOTH readouts:
+
+* ``flatten`` (the reference's formulation): fc consumes n_nodes * emb
+  inputs — parameter count and activation width grow linearly in nodes;
+* ``mean`` pooled readout (``gnn_readout=mean``): fc consumes emb inputs —
+  the node-count-independent head for graphs where flatten doesn't fit.
+
+The binding ceiling for the dense-operator formulation is the adjacency
+itself: a dense (n, n) float32 operator costs n^2 * 4 bytes HBM
+(2k -> 16 MB, 5k -> 100 MB, 10k -> 400 MB, 15k -> 900 MB) and every conv
+costs batch * n^2 * emb MACs. 2k nodes ALSO proves the adjacency-as-
+batch-argument contract at a size that inlining into HLO (the pre-round-4
+closure-constant path) could not ship through the remote-compile tunnel
+(HTTP 413 past ~10 MB).
+
+Run on the real TPU: python tools/measure_gnn_scale.py
+Each distinct program structure pays a ~110s tunnel compile; the script
+keeps to one structure per (readout, K) arm.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_nw(n_samples: int, n_nodes: int, seed: int = 0):
+    import pandas as pd
+
+    from flexynesis_tpu.data.dataset import MultiOmicDataset, MultiOmicDatasetNW
+
+    rng = np.random.default_rng(seed)
+    cls = rng.integers(0, 4, n_samples)
+    genes = [f"g{i}" for i in range(n_nodes)]
+    X = (rng.normal(size=(n_samples, n_nodes)) + 0.4 * cls[:, None]).astype(
+        np.float32
+    )
+    base = MultiOmicDataset(
+        dat={"gex": X},
+        ann={"subtype": cls.astype(np.float32)},
+        variable_types={"subtype": "categorical"},
+        features={"gex": genes},
+        samples=[f"S{i}" for i in range(n_samples)],
+        label_mappings={"subtype": {i: f"grp{i}" for i in range(4)}},
+    )
+    # ring + 2x random edges: ~STRING-like average degree at high confidence
+    src = np.concatenate([
+        np.arange(n_nodes),
+        rng.integers(0, n_nodes, 2 * n_nodes),
+    ])
+    dst = np.concatenate([
+        (np.arange(n_nodes) + 1) % n_nodes,
+        rng.integers(0, n_nodes, 2 * n_nodes),
+    ])
+    edges = pd.DataFrame({
+        "protein1": [genes[i] for i in src],
+        "protein2": [genes[i] for i in dst],
+    })
+    return MultiOmicDatasetNW(base, edges)
+
+
+def measure(n_nodes: int, readout: str, k: int, n: int = 512,
+            epochs: int = 5, batch: int = 32):
+    from flexynesis_tpu.models.gnn import GNN
+    from flexynesis_tpu.parallel.trials import ParallelTrials
+
+    nw = build_nw(n, n_nodes)
+    cfg = {
+        "latent_dim": 32, "node_embedding_dim": 16, "num_convs": 2,
+        "lr": 1e-3, "supervisor_hidden_dim": 16, "epochs": epochs,
+        "batch_size": batch, "activation": "relu", "gnn_readout": readout,
+    }
+    model = GNN(cfg, nw, target_variables=["subtype"], gnn_conv_type="GC")
+    tr = np.arange(int(n * 0.8))
+    va = np.arange(int(n * 0.8), n)
+    pt = ParallelTrials(model, nw)
+    lrs, seeds = np.full(k, 1e-3), np.arange(k)
+
+    t0 = time.perf_counter()
+    pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va, batch_size=batch,
+           max_epochs=epochs, epochs_per_eval=epochs)  # compile warm-up
+    compile_s = time.perf_counter() - t0
+
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = pt.run(lrs=lrs, seeds=seeds, train_idx=tr, val_idx=va,
+                     batch_size=batch, max_epochs=epochs,
+                     epochs_per_eval=epochs)
+        walls.append(time.perf_counter() - t0)
+        assert np.all(np.isfinite(out["best_val_loss"]))
+    wall = float(np.min(walls))
+    steps = epochs * (len(tr) // batch)
+    return {
+        "n_nodes": n_nodes,
+        "readout": readout,
+        "k_trials": k,
+        "adjacency_mb": round(n_nodes * n_nodes * 4 / 1e6, 1),
+        "trials_per_hour": round(k * 3600.0 / wall, 1),
+        "train_samples_per_sec": round(k * steps * batch / wall, 0),
+        "wall_s": round(wall, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    results = []
+    # 2k nodes, both readouts, modest trial fan-out (adjacency 16 MB; the
+    # conv einsum at K=8 x batch 32 x 4M-entry operator dominates)
+    for readout in ("flatten", "mean"):
+        r = measure(2000, readout, k=8)
+        results.append(r)
+        print(json.dumps(r), file=sys.stderr, flush=True)
+    # 4k nodes pooled: past the flatten head's comfort zone (fc rows 64k)
+    r = measure(4000, "mean", k=4, n=256)
+    results.append(r)
+    print(json.dumps(r), file=sys.stderr, flush=True)
+    print(json.dumps({"gnn_scale": results}))
+
+
+if __name__ == "__main__":
+    main()
