@@ -26,10 +26,13 @@ keeps to one structure per (readout, K) arm.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_nw(n_samples: int, n_nodes: int, seed: int = 0):
