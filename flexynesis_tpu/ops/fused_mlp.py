@@ -2,16 +2,17 @@
 
 Drop-in alternative to ops.mlp.MLP (same parameter layout and semantics:
 Linear -> BatchNorm -> ReLU -> Dropout -> Linear, bias-free regression head,
-hidden clamped to >= 2) whose hidden block executes as ONE Pallas kernel on
-TPU (ops/pallas/fused_linear.py). Models opt in via config
-``fused_kernels=True``; on CPU the kernel interprets (tests) so behavior is
-identical everywhere.
+hidden clamped to >= 2) whose Linear->BN->ReLU chain executes as ONE Pallas
+kernel on TPU (ops/pallas/fused_linear.py); dropout applies outside the
+kernel via ``nn.Dropout`` (same rng stream as the unfused MLP — a seeded
+in-kernel PRNG cannot batch under the trial engine's vmap). Models opt in
+via config ``fused_kernels=True``; on CPU the kernel interprets (tests) so
+behavior is identical everywhere.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .initializers import make_torch_bias_init, torch_linear_kernel_init
@@ -44,11 +45,8 @@ class FusedMLP(nn.Module):
         )
 
         if train:
-            seed = jax.random.randint(
-                self.make_rng("dropout"), (), 0, 1 << 30
-            )
             h, mu, var = fused_linear_bn_relu(
-                x, kernel, bias, gamma, beta, seed, BN_EPS, self.dropout_rate
+                x, kernel, bias, gamma, beta, BN_EPS
             )
             if not self.is_initializing():
                 # torch momentum-0.1 update; unbiased var like torch BN
@@ -60,6 +58,10 @@ class FusedMLP(nn.Module):
                 ra_var.value = (
                     BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var * unbias
                 )
+            # dropout lives OUTSIDE the Pallas kernel (a scalar seed operand
+            # has no legal block shape under the trial engine's vmap); same
+            # rng stream + semantics as the unfused MLP block
+            h = nn.Dropout(rate=self.dropout_rate, deterministic=False)(h)
         else:
             h = fused_linear_bn_relu_eval(
                 x, kernel, bias, gamma, beta, ra_mean.value, ra_var.value,

@@ -1,10 +1,15 @@
-"""Pallas TPU kernel: fused Linear -> BatchNorm -> ReLU (-> Dropout).
+"""Pallas TPU kernel: fused Linear -> BatchNorm -> ReLU.
 
 This is the hot block of every encoder/head in the model zoo (reference
 modules.py:106-150 runs it as 4 separate torch ops). The fusion computes the
-GEMM tile, batch statistics, normalization, activation and dropout masking in
-one VMEM-resident pass — the (B, H) activation never round-trips to HBM
-between ops.
+GEMM tile, batch statistics, normalization and activation in one
+VMEM-resident pass — the (B, H) activation never round-trips to HBM
+between ops. Dropout deliberately stays OUTSIDE the kernel (the caller
+applies ``nn.Dropout`` on the output, exactly like the unfused MLP): an
+in-kernel PRNG needs a per-call seed operand, and a scalar SMEM operand
+has no legal block shape under ``vmap`` — the trial engine vmaps every
+model over the trial axis, so a seeded kernel cannot run where it matters
+most. XLA fuses the mask-multiply into the kernel's consumer anyway.
 
 Grid: one program per hidden-dim tile. Each program sees the full batch
 (clinical batches are 32..128 rows — far below VMEM limits), so per-column
@@ -52,11 +57,10 @@ def _exceeds_vmem(Bp: int, Fp: int, tile: int) -> bool:
 
 
 def _fused_fwd_kernel(
-    x_ref, w_ref, b_ref, gamma_ref, beta_ref, seed_ref,
+    x_ref, w_ref, b_ref, gamma_ref, beta_ref,
     y_ref, h_ref, mean_ref, var_ref,
-    *, eps: float, dropout_rate: float, n_valid_h: int, n_valid_b: int,
+    *, eps: float, n_valid_b: int,
 ):
-    j = pl.program_id(0)
     h = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     h = h + b_ref[:]
     # batch statistics over the VALID rows only (batch axis may be padded to
@@ -70,28 +74,15 @@ def _fused_fwd_kernel(
     var = jnp.sum(jnp.square(centered), axis=0, keepdims=True) * inv_n
     inv = jax.lax.rsqrt(var + eps)
     y = centered * inv * gamma_ref[:] + beta_ref[:]
-    y = jnp.maximum(y, 0.0)
-    if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + j)
-        bits = pltpu.prng_random_bits(y.shape)
-        # uniform in [0, 1) from the high 24 bits
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-        keep = (u >= dropout_rate).astype(jnp.float32)
-        y = y * keep * (1.0 / (1.0 - dropout_rate))
-    y_ref[:] = y
+    y_ref[:] = jnp.maximum(y, 0.0)
     h_ref[:] = h
     mean_ref[:] = mu
     var_ref[:] = var
 
 
-def _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate):
+def _fused_forward(x, w, b, gamma, beta, eps):
     B, F = x.shape
     H = w.shape[1]
-    # the in-kernel TPU PRNG has no CPU interpreter lowering; apply dropout
-    # outside the kernel when interpreting (tests) — masks differ by backend
-    # but both are valid inverted-dropout draws
-    host_dropout = dropout_rate > 0.0 and _interpret()
-    kernel_dropout = 0.0 if host_dropout else dropout_rate
     # pad every dimension to the hardware tiles (8 sublanes x 128 lanes) —
     # Mosaic miscompiles unaligned contraction dims instead of erroring
     Bp = _round_up(B, 8)
@@ -107,12 +98,6 @@ def _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate):
         y = jnp.maximum(
             (h - mu) * jax.lax.rsqrt(var + eps) * gamma + beta, 0.0
         )
-        if dropout_rate > 0.0:
-            keep = jax.random.bernoulli(
-                jax.random.key(jnp.asarray(seed, jnp.int32)),
-                1.0 - dropout_rate, y.shape,
-            ).astype(y.dtype)
-            y = y * keep * (1.0 / (1.0 - dropout_rate))
         return y, h, mu, var
     if (Bp, Fp) != (B, F):
         x = jnp.pad(x, ((0, Bp - B), (0, Fp - F)))
@@ -126,14 +111,7 @@ def _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate):
     b2 = b.reshape(1, Hp)
     gamma2 = gamma.reshape(1, Hp)
     beta2 = beta.reshape(1, Hp)
-    seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    kernel = functools.partial(
-        _fused_fwd_kernel,
-        eps=eps,
-        dropout_rate=kernel_dropout,
-        n_valid_h=H,
-        n_valid_b=B,
-    )
+    kernel = functools.partial(_fused_fwd_kernel, eps=eps, n_valid_b=B)
     y, h, mu, var = pl.pallas_call(
         kernel,
         grid=grid,
@@ -143,7 +121,6 @@ def _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate):
             pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((Bp, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -158,49 +135,35 @@ def _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate):
             jax.ShapeDtypeStruct((1, Hp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(x, w, b2, gamma2, beta2, seed)
-    y = y[:B, :H]
-    if host_dropout:
-        keep = jax.random.bernoulli(
-            jax.random.key(seed[0]), 1.0 - dropout_rate, y.shape
-        ).astype(y.dtype)
-        y = y * keep * (1.0 / (1.0 - dropout_rate))
-    return y, h[:B, :H], mu[0, :H], var[0, :H]
+    )(x, w, b2, gamma2, beta2)
+    return y[:B, :H], h[:B, :H], mu[0, :H], var[0, :H]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def fused_linear_bn_relu(x, w, b, gamma, beta, seed=0, eps=1e-5,
-                         dropout_rate=0.0):
-    """relu(batchnorm(x @ w + b)) (+ inverted dropout), fused on TPU.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_linear_bn_relu(x, w, b, gamma, beta, eps=1e-5):
+    """relu(batchnorm(x @ w + b)), fused on TPU.
 
-    ``seed`` may be a traced int32 scalar (it flows into the kernel as data).
     Returns (y, batch_mean, batch_var) — the caller folds mean/var into its
-    running statistics (torch momentum-0.1 convention handled by the module).
+    running statistics (torch momentum-0.1 convention handled by the module)
+    and applies dropout on y (see module docstring for why dropout lives
+    outside the kernel).
     """
-    y, _, mu, var = _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate)
+    y, _, mu, var = _fused_forward(x, w, b, gamma, beta, eps)
     return y, mu, var
 
 
-def _fwd(x, w, b, gamma, beta, seed, eps, dropout_rate):
-    y, h, mu, var = _fused_forward(x, w, b, gamma, beta, seed, eps, dropout_rate)
-    return (y, mu, var), (x, w, gamma, beta, h, mu, var, y)
+def _fwd(x, w, b, gamma, beta, eps):
+    y, h, mu, var = _fused_forward(x, w, b, gamma, beta, eps)
+    return (y, mu, var), (x, w, gamma, beta, h, mu, var)
 
 
-def _bwd(eps, dropout_rate, res, grads):
-    x, w, gamma, beta, h, mu, var, y = res
+def _bwd(eps, res, grads):
+    x, w, gamma, beta, h, mu, var = res
     gy, _, _ = grads
-    B = x.shape[0]
     inv = jax.lax.rsqrt(var + eps)
     hn = (h - mu) * inv
     relu_in = hn * gamma + beta
-    act_mask = (relu_in > 0).astype(gy.dtype)
-    if dropout_rate > 0.0:
-        # dropout mask is recoverable from y: kept units have y != 0 when the
-        # relu output was > 0; combine with act_mask (dropped -> y == 0)
-        drop_mask = (y != 0).astype(gy.dtype)
-        g = gy * drop_mask * (1.0 / (1.0 - dropout_rate)) * act_mask
-    else:
-        g = gy * act_mask
+    g = gy * (relu_in > 0).astype(gy.dtype)
     dgamma = jnp.sum(g * hn, axis=0)
     dbeta = jnp.sum(g, axis=0)
     # batchnorm backward (batch statistics)
@@ -213,10 +176,7 @@ def _bwd(eps, dropout_rate, res, grads):
     dx = jnp.dot(dh, w.T, preferred_element_type=jnp.float32)
     dw = jnp.dot(x.T, dh, preferred_element_type=jnp.float32)
     db = jnp.sum(dh, axis=0)
-    import numpy as _np
-
-    dseed = _np.zeros((), jax.dtypes.float0)  # integer seed: symbolic zero
-    return dx, dw, db, dgamma, dbeta, dseed
+    return dx, dw, db, dgamma, dbeta
 
 
 fused_linear_bn_relu.defvjp(_fwd, _bwd)

@@ -158,3 +158,172 @@ class TestHeadlineCacheRelease:
         i_free = src.index("_free_hbm()", i_e2e)
         i_vae = src.index('"supervised_vae"')
         assert i_e2e < i_free < i_vae
+
+
+class TestCompactEmission:
+    """The driver's stdout tail capture is ~2000 chars; BENCH_r03's full
+    JSON line outgrew it and the artifact's "parsed" came back null. The
+    emitted line is a compacted view (_compact_result) with the untrimmed
+    result in BENCH_FULL.json — these tests pin the length guarantee and
+    that every decision number / status marker survives compaction."""
+
+    @staticmethod
+    def worst_case_result():
+        long = "x" * 400
+        extras = {
+            "epochs_per_trial": 10,
+            "n_samples": 2000,
+            "features": {"gex": 2000, "cnv": 1000},
+            "bound_by": long,
+            "sweep_reference": long,
+            "torch_cpu_trials_per_hour": 839.6,
+            "torch_cpu_32core_extrapolated_trials_per_hour": 26867.2,
+            "trial_count_sweep_trials_per_hour": {"512": 228353.0},
+            "best_trial_count": 512,
+            "tpu_train_samples_per_sec": 1014902.0,
+            "mfu_est": 0.0484,
+            "vs_32core_extrapolated": 10.39,
+            "torch_cpu_train_samples_per_sec": 3785.0,
+            "batch_inference": {
+                "tpu_samples_per_sec": 1245303.0,
+                "torch_cpu_samples_per_sec": 30618.0,
+                "speedup": 40.67, "elapsed_s": 33.2, "note": long,
+            },
+            "ig_attribution": {
+                "tpu_seconds": 1.085, "torch_cpu_seconds_est": 18.6,
+                "speedup": 17.2, "note": long, "elapsed_s": 8.7,
+            },
+            "gp_overhead": {
+                "ms_per_suggestion_hist100": 1.18,
+                "ms_per_suggestion_hist300": 2.81, "elapsed_s": 0.3,
+            },
+            "csv_ingestion": {
+                "native_s": 0.256, "pandas_s": 0.948, "speedup": 3.7,
+                "shape": [5000, 1000], "elapsed_s": 19.4,
+            },
+            "e2e_pipelined": {
+                "trials_per_hour_pipelined": 224164.9,
+                "trials_per_hour_sequential_ask": 160763.0,
+                "pipeline_speedup": 1.394,
+                "ask_fraction_hidden_under_device": 1.0,
+                "phase_seconds": {
+                    "p_setup": 0.0, "p_round": 16.43, "p_finish_tells": 0.02,
+                    "s_ask": 6.27, "s_round": 16.64, "s_tells": 0.02,
+                },
+                "rounds_per_arm": 2, "trials_per_round": 512,
+                "gp_history_at_end": 2048, "elapsed_s": 57.6,
+            },
+            "supervised_vae": {
+                "tpu_trials_per_hour": 559206.0,
+                "torch_cpu_trials_per_hour": 1267.1, "speedup": 441.32,
+                "k_trials": 1024, "mmd_xla_us": 27997.7,
+                "mmd_pallas_us": 27883.3, "elapsed_s": 81.4,
+                "retried_after_oom": True, "retried_at_k": 512,
+                "first_error": long,
+            },
+            "gnn": {
+                "tpu_trials_per_hour": 282900.0, "speedup": 200.1,
+                "k_trials": 512, "elapsed_s": 40.0, "note": long,
+            },
+            "large_single_model": {
+                "samples_per_sec": 287000.0, "mfu_est": 0.716,
+                "n_features": 16384, "latent_dim": 256, "batch_size": 1024,
+                "paired_diffs": 2, "bound_by": long, "note": long,
+                "partial": True, "elapsed_s": 158.0,
+            },
+            "finetuner": {
+                "tpu_grid_seconds": 4.3, "torch_cpu_grid_seconds_est": 26.2,
+                "speedup": 6.1, "grid_cells": 45, "note": long,
+                "elapsed_s": 108.0,
+            },
+            "e2e_trials_per_hour_incl_gp": 212451.2,
+            "total_wall_s": 545.6,
+            "deadline_killed": True,
+            "worker_error_rc": 1,
+        }
+        return {
+            "metric": ("HPO trials/hour (DirectPred, BRCA-scale 2-omic, "
+                       "512 vmapped trials)"),
+            "value": 228353.0, "unit": "trials/hour",
+            "vs_baseline": 272.0, "extra": extras,
+        }
+
+    def test_line_fits_driver_tail(self):
+        import json
+
+        compact = bench._compact_result(self.worst_case_result())
+        line = json.dumps(compact)
+        assert len(line) <= bench._MAX_LINE_CHARS, len(line)
+
+    def test_decision_numbers_survive(self):
+        compact = bench._compact_result(self.worst_case_result())
+        cx = compact["extra"]
+        assert compact["value"] == 228353.0
+        assert cx["large_single_model"]["mfu_est"] == 0.716
+        assert "bound_by" in cx["large_single_model"]
+        assert cx["gnn"]["tpu_trials_per_hour"] == 282900.0
+        assert cx["finetuner"]["tpu_grid_seconds"] == 4.3
+        assert cx["e2e_pipelined"]["pipeline_speedup"] == 1.394
+        assert cx["batch_inference"]["speedup"] == 40.67
+        assert cx["ig_attribution"]["tpu_seconds"] == 1.085
+        assert cx["supervised_vae"]["tpu_trials_per_hour"] == 559206.0
+        assert cx["mfu_est"] == 0.0484
+        assert cx["vs_32core_extrapolated"] == 10.39
+        assert cx["full_result"] == "BENCH_FULL.json"
+
+    def test_status_markers_survive(self):
+        compact = bench._compact_result(self.worst_case_result())
+        cx = compact["extra"]
+        assert cx["supervised_vae"]["retried_after_oom"] is True
+        assert cx["supervised_vae"]["retried_at_k"] == 512
+        assert cx["large_single_model"]["partial"] is True
+        assert cx["deadline_killed"] is True
+        assert cx["worker_error_rc"] == 1
+
+    def test_error_sections_survive_truncated(self):
+        r = self.worst_case_result()
+        r["extra"]["gnn"] = {
+            "section": "gnn", "error": "JaxRuntimeError: " + "y" * 300,
+        }
+        compact = bench._compact_result(r)
+        err = compact["extra"]["gnn"]["error"]
+        assert err.startswith("JaxRuntimeError")
+        assert len(err) <= 81
+
+    def test_unknown_sections_keep_numbers_and_status(self):
+        r = self.worst_case_result()
+        r["extra"]["new_section"] = {
+            "some_rate": 12.5, "note": "z" * 500, "in_progress": True,
+        }
+        compact = bench._compact_result(r)
+        sec = compact["extra"]["new_section"]
+        assert sec["some_rate"] == 12.5
+        assert sec["in_progress"] is True
+        assert "note" not in sec
+
+    def test_overflow_drops_low_priority_sections_first(self):
+        import json
+
+        r = self.worst_case_result()
+        # force overflow: many unknown numeric sections
+        for i in range(40):
+            r["extra"][f"extra_section_{i}"] = {f"metric_{j}": 1.0
+                                                for j in range(5)}
+        compact = bench._compact_result(r)
+        line = json.dumps(compact)
+        # the drop order can only shed known low-priority sections; the
+        # line may exceed the cap in this adversarial case but the
+        # headline keys must survive and known droppables must be gone
+        assert compact["value"] == 228353.0
+        assert "csv_ingestion" not in compact["extra"]
+        assert "large_single_model" in compact["extra"]
+
+    def test_worker_no_snapshot_error_survives(self):
+        r = {
+            "metric": "HPO trials/hour (DirectPred, BRCA-scale 2-omic, "
+                      "vmapped trials)",
+            "value": 0.0, "unit": "trials/hour", "vs_baseline": 0.0,
+            "extra": {"error": "worker produced no snapshot"},
+        }
+        compact = bench._compact_result(r)
+        assert compact["extra"]["error"] == "worker produced no snapshot"

@@ -34,7 +34,7 @@ class TestFusedLinearBNRelu:
         beta = rng.normal(size=H).astype(np.float32) * 0.1
         y, mu, var = fused_linear_bn_relu(
             jnp.array(x), jnp.array(w), jnp.array(b),
-            jnp.array(gamma), jnp.array(beta), 0, 1e-5, 0.0,
+            jnp.array(gamma), jnp.array(beta),
         )
         y_ref, _, mu_ref, var_ref = reference_block(x, w, b, gamma, beta)
         np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
@@ -50,7 +50,7 @@ class TestFusedLinearBNRelu:
         beta = jnp.array(np.zeros(H, np.float32))
 
         def loss_fused(params):
-            y, _, _ = fused_linear_bn_relu(*params, 0, 1e-5, 0.0)
+            y, _, _ = fused_linear_bn_relu(*params)
             return jnp.sum(jnp.square(y))
 
         def loss_ref(params):
@@ -70,16 +70,82 @@ class TestFusedLinearBNRelu:
             )
 
     def test_dropout_statistics(self, rng):
+        """Dropout applies OUTSIDE the kernel (FusedMLP composes the fused
+        block with nn.Dropout, same stream as the unfused MLP)."""
+        import flax.linen as nn
+
         B, F, H = 64, 32, 128
         x = jnp.array(rng.normal(size=(B, F)).astype(np.float32))
         w = jnp.array((rng.normal(size=(F, H)) * 0.1).astype(np.float32))
-        b = jnp.array(np.zeros(F, np.float32)[:H] if H <= F else np.zeros(H, np.float32))
         b = jnp.zeros(H, jnp.float32)
         gamma = jnp.ones(H, jnp.float32)
         beta = jnp.ones(H, jnp.float32)  # shift up so most units active
-        y, _, _ = fused_linear_bn_relu(x, w, b, gamma, beta, 7, 1e-5, 0.5)
-        zero_frac = float(jnp.mean(y == 0))
+        y, _, _ = fused_linear_bn_relu(x, w, b, gamma, beta)
+        h = nn.Dropout(rate=0.5, deterministic=False).apply(
+            {}, y, rngs={"dropout": jax.random.key(7)}
+        )
+        zero_frac = float(jnp.mean(h == 0))
         assert 0.35 < zero_frac < 0.75  # ~50% dropped (plus relu zeros)
+        # FusedMLP end-to-end: two dropout keys give two different outputs
+        from flexynesis_tpu.ops.fused_mlp import FusedMLP
+
+        m = FusedMLP(hidden_dim=H, output_dim=4, dropout_rate=0.5)
+        variables = m.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=True,
+        )
+        o1, _ = m.apply(variables, x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.key(2)})
+        o2, _ = m.apply(variables, x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.key(3)})
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_vmap_over_stacked_params_matches_loop(self, rng):
+        """The trial-engine composition: vmap over a stacked trial axis.
+
+        This exact composition failed to lower on TPU before the seed
+        operand was removed (a scalar SMEM block has no legal shape under
+        the pallas batching rule) — guard the semantics here; the TPU
+        lowering itself is exercised by tools/measure_fused_mlp.py."""
+        K, B, F, H = 3, 16, 100, 64
+        xs = rng.normal(size=(K, B, F)).astype(np.float32)
+        ws = (rng.normal(size=(K, F, H)) * 0.1).astype(np.float32)
+        bs = rng.normal(size=(K, H)).astype(np.float32)
+        gs = (rng.normal(size=(K, H)) * 0.5 + 1.0).astype(np.float32)
+        be = (rng.normal(size=(K, H)) * 0.1).astype(np.float32)
+        y_v, mu_v, var_v = jax.vmap(fused_linear_bn_relu)(
+            jnp.array(xs), jnp.array(ws), jnp.array(bs),
+            jnp.array(gs), jnp.array(be),
+        )
+        for k in range(K):
+            y_ref, _, mu_ref, var_ref = reference_block(
+                xs[k], ws[k], bs[k], gs[k], be[k]
+            )
+            np.testing.assert_allclose(
+                np.asarray(y_v[k]), y_ref, rtol=2e-4, atol=2e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(mu_v[k]), mu_ref, rtol=1e-4, atol=1e-4
+            )
+
+    def test_vmap_gradients_match_loop(self, rng):
+        K, B, F, H = 3, 8, 40, 24
+        xs = jnp.array(rng.normal(size=(K, B, F)).astype(np.float32))
+        ws = jnp.array((rng.normal(size=(K, F, H)) * 0.1).astype(np.float32))
+        bs = jnp.array(rng.normal(size=(K, H)).astype(np.float32))
+        gs = jnp.ones((K, H), jnp.float32)
+        be = jnp.zeros((K, H), jnp.float32)
+
+        def loss(w, x, b, g, bt):
+            y, _, _ = fused_linear_bn_relu(x, w, b, g, bt)
+            return jnp.sum(jnp.square(y))
+
+        g_v = jax.vmap(jax.grad(loss))(ws, xs, bs, gs, be)
+        for k in range(K):
+            g_k = jax.grad(loss)(ws[k], xs[k], bs[k], gs[k], be[k])
+            np.testing.assert_allclose(
+                np.asarray(g_v[k]), np.asarray(g_k), rtol=5e-3, atol=5e-4
+            )
 
     def test_eval_mode_uses_running_stats(self, rng):
         B, F, H = 8, 20, 16
@@ -199,7 +265,7 @@ class TestVMEMFallback:
         beta = rng.normal(size=H).astype(np.float32) * 0.1
         y, mu, var = fused_linear_bn_relu(
             jnp.array(x), jnp.array(w), jnp.array(b),
-            jnp.array(gamma), jnp.array(beta), 0, 1e-5, 0.0,
+            jnp.array(gamma), jnp.array(beta),
         )
         y_ref, _, mu_ref, var_ref = reference_block(x, w, b, gamma, beta)
         np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
@@ -211,7 +277,7 @@ class TestVMEMFallback:
             lambda w_: jnp.sum(
                 fused_linear_bn_relu(
                     jnp.array(x), w_, jnp.array(b), jnp.array(gamma),
-                    jnp.array(beta), 0, 1e-5, 0.0,
+                    jnp.array(beta),
                 )[0]
             )
         )(jnp.array(w))

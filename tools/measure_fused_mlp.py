@@ -22,6 +22,18 @@ contention swings). Each arm pays its own ~110s tunnel compile.
 Run on the real TPU: python tools/measure_fused_mlp.py
 Result recorded in docs/performance.md ("What did NOT work" or the
 trial-engine lever table, whichever way it lands).
+
+RESULTS (real TPU, 2026-08-19):
+- First run: the fused arm FAILED TO LOWER under vmap ("Block spec for
+  args[5]": the scalar SMEM seed operand has no legal block shape under
+  the pallas batching rule). Fixed by moving dropout out of the kernel
+  (FusedMLP now applies nn.Dropout on the kernel output, same stream as
+  the unfused MLP).
+- Second run (post-fix): fused arm lowers and runs, and XLA wins —
+  unfused 13.77 s vs fused 19.7 s at K=512 (fused_over_xla 0.699).
+  Under vmap the kernel becomes one grid program per (trial, tile) and
+  forfeits XLA's cross-trial GEMM batching. `fused_kernels` is therefore
+  documented experimental; the unfused default is the defended config.
 """
 
 from __future__ import annotations
