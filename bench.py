@@ -659,7 +659,7 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10,
         g * hidden + hidden * latent + latent * SUP_HIDDEN
         + SUP_HIDDEN * N_CLASSES
     )
-    n_steps = (len(tr) // batch) * (2 * epochs)
+    n_steps = (len(tr) // batch) * (7 * epochs)  # long arm (8x) - short (1x)
     samples = n_steps * batch
     # keep only PLAUSIBLE diffs: a stall in the short run makes a diff too
     # small the same way a stall in the long run makes it too big — a
@@ -686,13 +686,19 @@ def bench_large_model(n=4096, g=16384, latent=256, batch=1024, epochs=10,
             "note": "single model at production scale",
         }
 
-    run(epochs), run(3 * epochs)  # compile warm-ups for both chunk shapes
+    # long arm = 8x epochs: the diff then carries ~0.75s of device work
+    # (70 epochs) instead of ~0.2s (20 epochs at 3x) — a 2026-08-19 run
+    # measured MFU 0.285 vs the usual 0.67-0.72 because per-run tunnel
+    # jitter (~0.1-0.3s) dominated the short diff. Device time is nearly
+    # free at these shapes; only the per-run dispatch overhead (~2s)
+    # scales with more pairs.
+    run(epochs), run(8 * epochs)  # compile warm-ups for both chunk shapes
     diffs = []
-    for _ in range(2):
-        diffs.append(run(3 * epochs) - run(epochs))
+    for _ in range(3):
+        diffs.append(run(8 * epochs) - run(epochs))
         if publish is not None:
-            # stream the best-so-far estimate: this section runs LAST into
-            # the deadline under contention, and a mid-section kill should
+            # stream the best-so-far estimate: this section runs into the
+            # deadline under contention, and a mid-section kill should
             # preserve a 1-pair number instead of an in_progress marker
             publish(make_result(diffs))
     return make_result(diffs)
@@ -779,8 +785,9 @@ _FULL_RESULT_PATH = os.path.join(
 
 # status markers survive compaction wherever they appear
 _STATUS_KEYS = (
-    "error", "skipped_for_budget", "in_progress", "retrying_after_oom",
-    "retried_after_oom", "retried_at_k", "partial", "measurement_unstable",
+    "error", "skipped_for_budget", "skipped_to_protect", "in_progress",
+    "retrying_after_oom", "retried_after_oom", "retried_at_k", "partial",
+    "measurement_unstable",
 )
 
 _SECTION_KEEP = {
@@ -807,12 +814,14 @@ _EXTRA_KEEP = (
     "best_trial_count", "tpu_train_samples_per_sec", "mfu_est",
     "vs_32core_extrapolated", "torch_cpu_trials_per_hour",
     "trial_count_sweep_trials_per_hour", "e2e_trials_per_hour_incl_gp",
+    "headline_phase_s",
     "total_wall_s", "deadline_killed", "worker_error_rc", "error",
 )
 
 # dropped first if the compact line still overflows, least-decisive first
 _OVERFLOW_DROP_ORDER = (
-    "csv_ingestion", "gp_overhead", "trial_count_sweep_trials_per_hour",
+    "headline_phase_s", "csv_ingestion", "gp_overhead",
+    "trial_count_sweep_trials_per_hour",
     "torch_cpu_trials_per_hour", "tpu_train_samples_per_sec",
     "e2e_trials_per_hour_incl_gp", "supervised_vae", "batch_inference",
 )
@@ -881,17 +890,22 @@ _SECTION_EST_S = {
     # 180s+); it runs LAST, and this estimate decides clean-skip vs a
     # mid-section deadline kill — use the contended median, not the fair
     # minimum
-    "large": 90,
+    "large": 110,
     "vae": 75,
-    "gnn": 45,
-    # measured section cost is ~35-45s (4-10s grid + one ~30s tunnel
-    # compile); 75 was conservative enough to skip it on runs that still
-    # had room (2026-08-17: skipped with 34.2s remaining)
-    "finetuner": 45,
+    # 2026-08-19 contended run: gnn 69.2s, finetuner 121.6s against the
+    # old 45s estimates — the estimates below sit at the observed
+    # contended values since they also size the must-run budget reserve
+    "gnn": 65,
+    "finetuner": 85,
     "gp": 5,
     "e2e": 75,
     "ingestion": 8,
 }
+
+# sections at or below this estimate bypass the must-run budget reserve
+# (SectionRunner docstring): skipping a sub-second probe to "protect" a
+# 45s section saves nothing
+_RESERVE_EXEMPT_EST_S = 8
 
 
 _HEADLINE_CACHE = {}
@@ -929,11 +943,21 @@ class SectionRunner:
     at reduced K) when given, else the same fn — so one allocation failure
     neither loses the number nor cascades into later sections; (4) on any
     terminal failure the chip is freed again before moving on.
+
+    ``must_run`` names sections whose estimated budget is RESERVED: a
+    skippable section only runs if the remaining budget covers its own
+    estimate PLUS every pending must-run's. Rounds 1-3 each lost the same
+    three sections (gnn / large-model MFU / finetuner) to whatever ran
+    before them — budget starvation in r02, an OOM cascade in r03, and a
+    tunnel-contended headline in the first r04 builder run; the reserve
+    makes slow runs shed already-driver-verified sections instead.
+    Near-free sections (est <= _RESERVE_EXEMPT_EST_S) bypass the reserve —
+    a 0.3s probe cannot meaningfully starve a 45s section.
     Module-level (not a closure) so tests can drive the degradation path
     directly (tests/test_bench_sections.py)."""
 
     def __init__(self, extras, result, budget_s, t_start=None,
-                 est=None, write=None, free=None):
+                 est=None, write=None, free=None, must_run=()):
         self.extras = extras
         self.result = result
         self.budget_s = budget_s
@@ -941,9 +965,13 @@ class SectionRunner:
         self.est = _SECTION_EST_S if est is None else est
         self.write = _write_snapshot if write is None else write
         self.free = _free_hbm if free is None else free
+        self.must_pending = list(must_run)
 
     def _remaining(self) -> float:
         return self.budget_s - (time.perf_counter() - self.t_start)
+
+    def _reserve(self) -> float:
+        return float(sum(self.est[n] for n in self.must_pending))
 
     def _flush(self) -> None:
         self.extras["total_wall_s"] = round(
@@ -961,13 +989,26 @@ class SectionRunner:
             self.extras[key] = {"section": name, "error": err}
 
     def run(self, key, name, fn, fallback=None) -> None:
+        if name in self.must_pending:
+            # a must-run gates only on its own estimate (priority among
+            # must-runs is their call order), and stops reserving once
+            # reached — run, skipped or failed, its slot is spent
+            self.must_pending.remove(name)
+            reserve = 0.0
+        elif self.est[name] <= _RESERVE_EXEMPT_EST_S:
+            reserve = 0.0
+        else:
+            reserve = self._reserve()
         remaining = self._remaining()
-        if remaining < self.est[name]:
-            self.extras[key] = {
+        if remaining < self.est[name] + reserve:
+            skip = {
                 "section": name,
                 "skipped_for_budget": True,
                 "remaining_s": round(remaining, 1),
             }
+            if reserve and remaining >= self.est[name]:
+                skip["skipped_to_protect"] = list(self.must_pending)
+            self.extras[key] = skip
             self._flush()
             return
         t0 = time.perf_counter()
@@ -1337,7 +1378,15 @@ def _main_body(budget_s: float):
 
     gex, cnv, cls = _synth()
 
+    # phase attribution for the pre-section block: the first r04 builder
+    # run burned ~315s here (vs ~150s fair — tunnel-contended compile)
+    # and the artifact could not say where the time went
+    headline_phase = {}
+    extras["headline_phase_s"] = headline_phase
+
+    t_ph = time.perf_counter()
     torch_trial_s = bench_torch_cpu(gex, cnv, cls)
+    headline_phase["torch_baseline"] = round(time.perf_counter() - t_ph, 1)
     torch_tph = 3600.0 / torch_trial_s
     extras["torch_cpu_trials_per_hour"] = round(torch_tph, 1)
     # the in-container torch host has nproc=1; a realistic reference host
@@ -1364,7 +1413,12 @@ def _main_body(budget_s: float):
     )
     best_k, best_tph, best_wall = None, 0.0, None
     for k in K_SWEEP:
+        t_ph = time.perf_counter()
         wall = bench_tpu(gex, cnv, cls, k=k)
+        # phase total minus 3x the timed wall (warm-up + best-of-2)
+        # approximates the tunnel compile cost for this shape
+        headline_phase[f"tpu_k{k}"] = round(time.perf_counter() - t_ph, 1)
+        headline_phase[f"tpu_k{k}_timed_wall"] = round(wall, 1)
         tph = k * 3600.0 / wall
         sweep[str(k)] = round(tph, 0)
         if tph > best_tph:
@@ -1387,37 +1441,34 @@ def _main_body(budget_s: float):
         EPOCHS * (N_SAMPLES // BATCH) * BATCH / torch_trial_s, 0
     )
 
-    sections = SectionRunner(extras, result, budget_s, t_start=t_start)
+    # gnn / large-model MFU / finetuner are the three claims that went
+    # rounds 1-3 without a driver-artifact number (r03 verdict #1): their
+    # estimated budget is RESERVED — any slower, already-driver-verified
+    # section that would eat into it is shed instead
+    sections = SectionRunner(extras, result, budget_s, t_start=t_start,
+                             must_run=("gnn", "large", "finetuner"))
     run_section = sections.run
 
-    # priority order (VERDICT r2 #1): the cheap inference probe, then the
-    # three sections carrying previously-unverified claims (ig, large-model
-    # MFU, vae), then gnn and finetuner
     run_section("batch_inference", "inference",
                 lambda: bench_inference(gex, cnv, cls))
     run_section("ig_attribution", "ig", lambda: bench_ig(gex, cnv, cls))
-    # near-free sections run before the expensive high-variance ones
-    # (large/vae/finetuner pay 30-120s tunnel compiles with 2-4x
-    # contention swings — one slow section must not starve a 5s one)
+    # near-free sections (reserve-exempt): run before the expensive
+    # high-variance ones
     run_section("gp_overhead", "gp", bench_gp_overhead)
     run_section("csv_ingestion", "ingestion", bench_ingestion)
-    # e2e runs early: it is the round-3 novel evidence (pipelined GP ask)
-    # and costs no compile — it reuses the headline engine's chunk
+    # e2e runs before the must-run block: it costs no compile — it reuses
+    # the headline engine's chunk, which must stay alive until here
     run_section("e2e_pipelined", "e2e", bench_e2e_pipelined)
     # the headline engine exists ONLY for e2e's reuse: release it (and
     # every compiled program) before the remaining engine builds — in
     # BENCH_r03 it stayed pinned in HBM and every section compiled after
     # the K=1024 VAE died RESOURCE_EXHAUSTED (round-3 verdict, weak #1)
     _free_hbm()
-    run_section("supervised_vae", "vae", bench_vae,
-                fallback=lambda: dict(bench_vae(k=512), retried_at_k=512))
-    _free_hbm()
-    run_section("gnn", "gnn", bench_gnn,
-                fallback=lambda: dict(bench_gnn(k=256), retried_at_k=256))
+
     # computed sequential e2e (engine rate + host GP cost serialized) —
     # kept as the comparison point for the MEASURED pipelined loop above.
-    # Computed BEFORE the last sections: they may legitimately run into
-    # the deadline and a mid-section kill must not drop this derived field.
+    # Computed BEFORE the expensive sections: they may legitimately run
+    # into the deadline and a mid-section kill must not drop this field.
     gp = extras.get("gp_overhead", {})
     gp_ms = gp.get("ms_per_suggestion_hist100")
     if gp_ms is not None and best_tph:
@@ -1428,13 +1479,12 @@ def _main_body(budget_s: float):
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)
 
-    # the two overrun-prone sections run at the tail (observed up to 3x
-    # their estimates under tunnel contention; a 2026-08-18 run measured
-    # large 158s vs est 90 and finetuner 108s vs est 45). large runs FIRST
-    # of the two: its MFU is the highest-priority claim (driver-missing for
-    # three rounds) and it streams 1-pair partials, so if anything is
-    # deadline-killed it should be finetuner, whose in_progress marker
-    # documents the kill.
+    # the must-run block, cheapest/most-predictable first. large streams
+    # 1-pair partials (a deadline kill mid-section still lands a number);
+    # finetuner's in_progress marker documents a kill.
+    run_section("gnn", "gnn", bench_gnn,
+                fallback=lambda: dict(bench_gnn(k=256), retried_at_k=256))
+
     def _publish_large(r):
         extras["large_single_model"] = dict(r, partial=True)
         _write_snapshot(result)
@@ -1448,6 +1498,14 @@ def _main_body(budget_s: float):
     run_section("finetuner", "finetuner",
                 lambda: bench_finetuner(gex, cnv, cls),
                 fallback=lambda: bench_finetuner(gex, cnv, cls))
+
+    # vae runs LAST: it is the most expensive remaining section (K=1024
+    # engine, 62-119s observed) and its number is already driver-verified
+    # (BENCH_r03: 559k trials/h) — under a contended tunnel it is the
+    # right section to lose
+    _free_hbm()
+    run_section("supervised_vae", "vae", bench_vae,
+                fallback=lambda: dict(bench_vae(k=512), retried_at_k=512))
 
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)

@@ -444,6 +444,10 @@ def reconstruct_model(weights_path: str, config_path: str, artifacts) -> object:
             # readout (or a model with the fused Pallas blocks) must
             # rebuild the same module or the loaded params won't match
             "gnn_readout",
+            # gnn_sparse does NOT change params (dense/sparse operators
+            # are parity-tested equal) — persisted only so an explicit
+            # perf choice survives reload
+            "gnn_sparse",
             "fused_kernels",
         )
         if k in config

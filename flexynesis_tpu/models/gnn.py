@@ -7,9 +7,12 @@ from --gnn_conv_type, shared edge_index across samples (:101-103), standard
 multi-task heads/losses, and per-node attributions split back per original
 omic layer (:440-633).
 
-TPU-first: the edge list becomes a dense aggregation operator built once on
-host (ops/graph_conv.py) so every conv is a batched MXU einsum; the operator
-lives on device for the model's lifetime.
+TPU-first: the edge list becomes an aggregation operator built once on
+host (ops/graph_conv.py) and living on device for the model's lifetime —
+dense (N, N) below SPARSE_NODE_THRESHOLD nodes (every conv is a batched MXU
+einsum) and a padded dst-sorted edge list above it (segment_sum
+aggregation: STRING-scale graphs at <1% density waste 100-1000x work in
+the dense form). Config ``gnn_sparse`` in {"auto", true, false} overrides.
 """
 
 from __future__ import annotations
@@ -22,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from ..ops.graph_conv import FlexGCN, build_operator
+from ..ops.graph_conv import (
+    SPARSE_NODE_THRESHOLD,
+    FlexGCN,
+    build_operator,
+    build_sparse_operator,
+)
 from ..ops.mlp import MLP
 from .base import BaseModel
 
@@ -93,9 +101,22 @@ class GNN(BaseModel):
         self.gnn_conv_type = gnn_conv_type or "GC"
         self.n_nodes = len(dataset.node_names)
         self.n_node_feats = dataset.node_features.shape[2]
-        self._adj = jnp.asarray(
-            build_operator(dataset.edge_index, self.n_nodes, self.gnn_conv_type)
-        )
+        sparse_cfg = config.get("gnn_sparse", "auto")
+        if sparse_cfg == "auto":
+            sparse_cfg = self.n_nodes >= SPARSE_NODE_THRESHOLD
+        if sparse_cfg:
+            self._adj = jax.tree.map(
+                jnp.asarray,
+                build_sparse_operator(
+                    dataset.edge_index, self.n_nodes, self.gnn_conv_type
+                ),
+            )
+        else:
+            self._adj = jnp.asarray(
+                build_operator(
+                    dataset.edge_index, self.n_nodes, self.gnn_conv_type
+                )
+            )
         self.nw_dataset = dataset
         super().__init__(
             config,

@@ -50,7 +50,8 @@ def _init_stacked(model, seeds):
         # into the HLO, which the remote-compile tunnel rejects (HTTP 413)
         extra = ()
         if hasattr(model, "_adj"):  # GNN signature: module.init(key, x, adj)
-            extra = (jnp.asarray(model._adj),)
+            # dense operator (one array) or sparse edge dict (a pytree)
+            extra = (jax.tree.map(jnp.asarray, model._adj),)
 
         def init_all(seeds, x, *extra):
             def init_one(seed):

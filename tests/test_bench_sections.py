@@ -26,7 +26,7 @@ class FakeOOM(Exception):
         return "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
 
 
-def make_runner(extras, calls, budget_s=1000.0, est=None):
+def make_runner(extras, calls, budget_s=1000.0, est=None, must_run=()):
     result = {"extra": extras}
     est = est or {"a": 1, "b": 1, "canary": 1}
     return bench.SectionRunner(
@@ -34,6 +34,7 @@ def make_runner(extras, calls, budget_s=1000.0, est=None):
         est=est,
         write=lambda r: calls.append("write"),
         free=lambda: calls.append("free"),
+        must_run=must_run,
     )
 
 
@@ -142,6 +143,69 @@ class TestSectionRunnerOOM:
         assert calls.count("free") == 1
 
 
+class TestMustRunReserve:
+    """Skippable sections must not eat the estimated budget of the three
+    sections that went rounds 1-3 without a driver number (gnn / large /
+    finetuner) — the reserve sheds the skippable one instead."""
+
+    EST = {"s": 20, "tiny": 5, "m1": 30, "m2": 30, "vae": 20}
+
+    def test_skippable_shed_to_protect_must_runs(self):
+        extras, calls = {}, []
+        runner = make_runner(extras, calls, budget_s=70.0, est=self.EST,
+                             must_run=("m1", "m2"))
+        # s alone fits (20 <= 70) but 20 + reserve(60) > 70 -> shed
+        runner.run("s", "s", lambda: pytest.fail("must be shed"))
+        assert extras["s"]["skipped_for_budget"] is True
+        assert extras["s"]["skipped_to_protect"] == ["m1", "m2"]
+        # the protected sections then run on their own estimates
+        runner.run("m1", "m1", lambda: {"v": 1})
+        runner.run("m2", "m2", lambda: {"v": 2})
+        assert extras["m1"]["v"] == 1 and extras["m2"]["v"] == 2
+
+    def test_near_free_sections_bypass_reserve(self):
+        extras, calls = {}, []
+        runner = make_runner(extras, calls, budget_s=70.0, est=self.EST,
+                             must_run=("m1", "m2"))
+        runner.run("tiny", "tiny", lambda: {"v": 3})  # est 5 <= exempt 8
+        assert extras["tiny"]["v"] == 3
+
+    def test_must_run_gates_on_own_estimate_only(self):
+        # priority among must-runs is call order: m1 runs even though
+        # m1 + m2 estimates exceed the budget; m2 then skips plainly
+        extras, calls = {}, []
+        runner = make_runner(extras, calls, budget_s=35.0, est=self.EST,
+                             must_run=("m1", "m2"))
+        runner.run("m1", "m1", lambda: {"v": 1})
+        assert extras["m1"]["v"] == 1
+        runner.t_start -= 10.0  # m1 "cost" 10s
+        runner.run("m2", "m2", lambda: pytest.fail("over budget"))
+        assert extras["m2"]["skipped_for_budget"] is True
+        assert "skipped_to_protect" not in extras["m2"]
+
+    def test_reserve_released_after_must_runs_complete(self):
+        extras, calls = {}, []
+        runner = make_runner(extras, calls, budget_s=85.0, est=self.EST,
+                             must_run=("m1", "m2"))
+        runner.run("m1", "m1", lambda: {"v": 1})
+        runner.run("m2", "m2", lambda: {"v": 2})
+        # all must-runs spent: vae (est 20 <= 85 remaining) runs freely
+        runner.run("vae", "vae", lambda: {"v": 4})
+        assert extras["vae"]["v"] == 4
+
+    def test_skipped_must_run_stops_reserving(self):
+        extras, calls = {}, []
+        runner = make_runner(extras, calls, budget_s=55.0, est=self.EST,
+                             must_run=("m1", "m2"))
+        runner.t_start -= 30.0  # 25s remaining: m1 (est 30) skips plainly
+        runner.run("m1", "m1", lambda: pytest.fail("over budget"))
+        assert extras["m1"]["skipped_for_budget"] is True
+        # its reserve slot is spent: s (20 + reserve 30 for m2 > 25) still
+        # sheds, but only naming m2
+        runner.run("s", "s", lambda: pytest.fail("must be shed"))
+        assert extras["s"]["skipped_to_protect"] == ["m2"]
+
+
 class TestHeadlineCacheRelease:
     def test_free_hbm_clears_headline_cache(self):
         bench._HEADLINE_CACHE[512] = ("engine", "tr", "va")
@@ -179,6 +243,8 @@ class TestCompactEmission:
             "torch_cpu_trials_per_hour": 839.6,
             "torch_cpu_32core_extrapolated_trials_per_hour": 26867.2,
             "trial_count_sweep_trials_per_hour": {"512": 228353.0},
+            "headline_phase_s": {"torch_baseline": 21.3, "tpu_k512": 310.4,
+                                 "tpu_k512_timed_wall": 8.9},
             "best_trial_count": 512,
             "tpu_train_samples_per_sec": 1014902.0,
             "mfu_est": 0.0484,

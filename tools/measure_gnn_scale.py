@@ -71,7 +71,7 @@ def build_nw(n_samples: int, n_nodes: int, seed: int = 0):
 
 
 def measure(n_nodes: int, readout: str, k: int, n: int = 512,
-            epochs: int = 5, batch: int = 32):
+            epochs: int = 5, batch: int = 32, sparse: bool = False):
     from flexynesis_tpu.models.gnn import GNN
     from flexynesis_tpu.parallel.trials import ParallelTrials
 
@@ -80,6 +80,7 @@ def measure(n_nodes: int, readout: str, k: int, n: int = 512,
         "latent_dim": 32, "node_embedding_dim": 16, "num_convs": 2,
         "lr": 1e-3, "supervisor_hidden_dim": 16, "epochs": epochs,
         "batch_size": batch, "activation": "relu", "gnn_readout": readout,
+        "gnn_sparse": sparse,
     }
     model = GNN(cfg, nw, target_variables=["subtype"], gnn_conv_type="GC")
     tr = np.arange(int(n * 0.8))
@@ -102,11 +103,19 @@ def measure(n_nodes: int, readout: str, k: int, n: int = 512,
         assert np.all(np.isfinite(out["best_val_loss"]))
     wall = float(np.min(walls))
     steps = epochs * (len(tr) // batch)
+    if sparse:
+        n_edges = int(model._adj["src"].shape[0])
+        adj_mb = round(n_edges * 12 / 1e6, 2)  # 2x int32 + f32 per edge
+    else:
+        n_edges = None
+        adj_mb = round(n_nodes * n_nodes * 4 / 1e6, 1)
     return {
         "n_nodes": n_nodes,
         "readout": readout,
+        "sparse": sparse,
+        "padded_edges": n_edges,
         "k_trials": k,
-        "adjacency_mb": round(n_nodes * n_nodes * 4 / 1e6, 1),
+        "adjacency_mb": adj_mb,
         "trials_per_hour": round(k * 3600.0 / wall, 1),
         "train_samples_per_sec": round(k * steps * batch / wall, 0),
         "wall_s": round(wall, 2),
@@ -116,16 +125,26 @@ def measure(n_nodes: int, readout: str, k: int, n: int = 512,
 
 def main():
     results = []
-    # 2k nodes, both readouts, modest trial fan-out (adjacency 16 MB; the
-    # conv einsum at K=8 x batch 32 x 4M-entry operator dominates)
-    for readout in ("flatten", "mean"):
-        r = measure(2000, readout, k=8)
+
+    def arm(*args, **kw):
+        r = measure(*args, **kw)
         results.append(r)
         print(json.dumps(r), file=sys.stderr, flush=True)
+        return r
+
+    # 2k nodes: the reference's flatten readout (dense only — head size is
+    # the binding factor there, not aggregation), then the pooled readout
+    # dense vs sparse (ring+2n random edges: ~0.15% density, so the dense
+    # operator does ~650x the useful aggregation work)
+    arm(2000, "flatten", k=8)
+    arm(2000, "mean", k=8)
+    arm(2000, "mean", k=8, sparse=True)
     # 4k nodes pooled: past the flatten head's comfort zone (fc rows 64k)
-    r = measure(4000, "mean", k=4, n=256)
-    results.append(r)
-    print(json.dumps(r), file=sys.stderr, flush=True)
+    arm(4000, "mean", k=4, n=256)
+    arm(4000, "mean", k=4, n=256, sparse=True)
+    # 8k nodes: dense operator alone is 256 MB x K stacked engines —
+    # sparse-only territory
+    arm(8000, "mean", k=4, n=256, sparse=True)
     print(json.dumps({"gnn_scale": results}))
 
 
