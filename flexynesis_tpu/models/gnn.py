@@ -9,10 +9,13 @@ omic layer (:440-633).
 
 TPU-first: the edge list becomes an aggregation operator built once on
 host (ops/graph_conv.py) and living on device for the model's lifetime —
-dense (N, N) below SPARSE_NODE_THRESHOLD nodes (every conv is a batched MXU
-einsum) and a padded dst-sorted edge list above it (segment_sum
-aggregation: STRING-scale graphs at <1% density waste 100-1000x work in
-the dense form). Config ``gnn_sparse`` in {"auto", true, false} overrides.
+dense (N, N) below SPARSE_NODE_THRESHOLD nodes (every conv is a batched
+MXU einsum, measured FASTER than sparse up to ~6k nodes despite ~1000x
+the raw multiply-adds) and a padded dst-sorted edge list above it
+(segment_sum aggregation: the dense form's n^2 storage and compile cost
+stop being viable at STRING scale — measured crossover in
+ops/graph_conv.py). Config ``gnn_sparse`` in {"auto", true, false}
+overrides.
 """
 
 from __future__ import annotations

@@ -74,11 +74,17 @@ def build_operator(
     raise ValueError(f"Unknown convolution type: {conv_type}")
 
 
-# auto-switch to the edge-list operator at this node count (the dense
-# operator is N^2 in storage and aggregation FLOPs; STRING graphs run
-# 5-15k nodes at <1% density). Crossover measured on real TPU:
-# tools/measure_gnn_scale.py
-SPARSE_NODE_THRESHOLD = 2048
+# auto-switch to the edge-list operator at this node count. Measured on
+# real TPU (tools/measure_gnn_scale.py, 2026-08-19, ring+2n random edges
+# ~0.1% density, train samples/s): the dense MXU einsum WINS below the
+# threshold — 2k: 4738 vs 4008 (1.18x), 4k: 1267 vs 1111 (1.14x), 6k:
+# 1185 vs 1151 (parity) — and above it the dense operator stops being
+# viable: the 8k dense program never finished compiling through the
+# remote-compile tunnel (>1200s, killed) while sparse compiled in 20s
+# and ran 939 samples/s; storage is n^2*4B (8k = 256 MB, 15k = 900 MB)
+# vs ~12B/edge. Denser graphs shift the crossover up — override with
+# config gnn_sparse: true/false.
+SPARSE_NODE_THRESHOLD = 8192
 
 
 def build_sparse_operator(
