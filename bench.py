@@ -872,6 +872,30 @@ def _compact_result(result):
         if len(json.dumps(compact)) <= _MAX_LINE_CHARS:
             break
         cx.pop(sec, None)
+    # guaranteed fallback (the drop order above is best-effort: new
+    # sections added without updating it could still overflow, which is
+    # the exact BENCH_r03 tail-capture failure this function prevents):
+    # 1) drop unknown (non-keep-map) sections, 2) shrink every remaining
+    # dict section to its status markers, 3) drop anything left but the
+    # headline fields — len(line) <= _MAX_LINE_CHARS always holds
+    if len(json.dumps(compact)) > _MAX_LINE_CHARS:
+        for sec in [s for s in cx
+                    if s not in _SECTION_KEEP and s != "full_result"]:
+            if len(json.dumps(compact)) <= _MAX_LINE_CHARS:
+                break
+            cx.pop(sec, None)
+    if len(json.dumps(compact)) > _MAX_LINE_CHARS:
+        for sec, v in list(cx.items()):
+            if len(json.dumps(compact)) <= _MAX_LINE_CHARS:
+                break
+            if isinstance(v, dict):
+                cx[sec] = {kk: vv for kk, vv in v.items()
+                           if kk in _STATUS_KEYS}
+    for sec in list(cx):
+        if len(json.dumps(compact)) <= _MAX_LINE_CHARS:
+            break
+        if sec != "full_result":
+            cx.pop(sec)
     return compact
 
 

@@ -104,7 +104,22 @@ class GNN(BaseModel):
         self.gnn_conv_type = gnn_conv_type or "GC"
         self.n_nodes = len(dataset.node_names)
         self.n_node_feats = dataset.node_features.shape[2]
+        # accept only True/False/"auto" (strings normalized case-
+        # insensitively, so a YAML/CLI passthrough of "false" doesn't
+        # silently truthy-select the sparse path); reject anything else
         sparse_cfg = config.get("gnn_sparse", "auto")
+        if isinstance(sparse_cfg, str):
+            norm = sparse_cfg.strip().lower()
+            if norm in ("true", "false", "auto"):
+                sparse_cfg = {"true": True, "false": False, "auto": "auto"}[norm]
+            else:
+                raise ValueError(
+                    f"gnn_sparse must be true/false/'auto', got {sparse_cfg!r}"
+                )
+        elif not isinstance(sparse_cfg, (bool, np.bool_)):
+            raise ValueError(
+                f"gnn_sparse must be true/false/'auto', got {sparse_cfg!r}"
+            )
         if sparse_cfg == "auto":
             sparse_cfg = self.n_nodes >= SPARSE_NODE_THRESHOLD
         if sparse_cfg:

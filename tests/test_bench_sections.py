@@ -377,12 +377,30 @@ class TestCompactEmission:
                                                 for j in range(5)}
         compact = bench._compact_result(r)
         line = json.dumps(compact)
-        # the drop order can only shed known low-priority sections; the
-        # line may exceed the cap in this adversarial case but the
-        # headline keys must survive and known droppables must be gone
+        # the guaranteed fallback (drop unknown sections, then shrink to
+        # status markers, then drop anything non-headline) means the cap
+        # HOLDS even in this adversarial case — the exact BENCH_r03
+        # tail-capture failure (parsed: null) must be impossible
+        assert len(line) <= bench._MAX_LINE_CHARS, len(line)
         assert compact["value"] == 228353.0
         assert "csv_ingestion" not in compact["extra"]
-        assert "large_single_model" in compact["extra"]
+
+    def test_overflow_cap_holds_with_giant_statused_sections(self):
+        import json
+
+        # worst adversarial shape: every section is a must-keep-looking
+        # dict stuffed with status markers and numbers, far past any drop
+        # order — only the final headline-only fallback can save the line
+        r = self.worst_case_result()
+        for i in range(200):
+            r["extra"][f"s{i}"] = {
+                "a_rate": 1.23456789e12, "error": "x" * 200,
+                "in_progress": True, "partial": True,
+            }
+        compact = bench._compact_result(r)
+        assert len(json.dumps(compact)) <= bench._MAX_LINE_CHARS
+        assert compact["value"] == 228353.0
+        assert compact["extra"]["full_result"] == "BENCH_FULL.json"
 
     def test_worker_no_snapshot_error_survives(self):
         r = {

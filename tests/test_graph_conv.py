@@ -169,6 +169,19 @@ class TestModelSelection:
         assert isinstance(m_sparse._adj, dict)
         assert 20 < SPARSE_NODE_THRESHOLD  # auto stays dense here
 
+        # string passthroughs from YAML/CLI configs are normalized, not
+        # truthiness-selected: "false" must select DENSE, and anything
+        # unrecognized is rejected (advisor round-4 finding, gnn.py)
+        assert not isinstance(make({"gnn_sparse": "false"}, 20)._adj, dict)
+        assert isinstance(make({"gnn_sparse": "True"}, 20)._adj, dict)
+        assert not isinstance(make({"gnn_sparse": "AUTO"}, 20)._adj, dict)
+        import pytest
+
+        with pytest.raises(ValueError, match="gnn_sparse"):
+            make({"gnn_sparse": "yes"}, 20)
+        with pytest.raises(ValueError, match="gnn_sparse"):
+            make({"gnn_sparse": 1}, 20)
+
     def test_sparse_model_trains_and_matches_dense_eval(self):
         from flexynesis_tpu.models.gnn import GNN
 

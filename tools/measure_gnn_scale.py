@@ -104,18 +104,26 @@ def measure(n_nodes: int, readout: str, k: int, n: int = 512,
     wall = float(np.min(walls))
     steps = epochs * (len(tr) // batch)
     if sparse:
-        n_edges = int(model._adj["src"].shape[0])
-        adj_mb = round(n_edges * 12 / 1e6, 2)  # 2x int32 + f32 per edge
+        # padded entries carry w == 0 exactly (build_sparse_operator), so
+        # the nonzero count recovers the REAL edge count; report both so
+        # the crossover table's storage column isn't inflated by the
+        # pad_multiple=512 floor on small graphs (12B = 2x int32 + f32)
+        padded_edges = int(model._adj["src"].shape[0])
+        real_edges = int(np.count_nonzero(np.asarray(model._adj["w"])))
+        adj_mb = round(real_edges * 12 / 1e6, 3)
+        adj_mb_padded = round(padded_edges * 12 / 1e6, 3)
     else:
-        n_edges = None
-        adj_mb = round(n_nodes * n_nodes * 4 / 1e6, 1)
+        padded_edges = real_edges = None
+        adj_mb = adj_mb_padded = round(n_nodes * n_nodes * 4 / 1e6, 1)
     return {
         "n_nodes": n_nodes,
         "readout": readout,
         "sparse": sparse,
-        "padded_edges": n_edges,
+        "padded_edges": padded_edges,
+        "real_edges": real_edges,
         "k_trials": k,
         "adjacency_mb": adj_mb,
+        "adjacency_mb_padded": adj_mb_padded,
         "trials_per_hour": round(k * 3600.0 / wall, 1),
         "train_samples_per_sec": round(k * steps * batch / wall, 0),
         "wall_s": round(wall, 2),
