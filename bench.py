@@ -98,8 +98,88 @@ FLOP_PER_SAMPLE = 3 * 2 * (
 )
 V5E_BF16_PEAK = 197e12
 
+# REAL measured torch-CPU baselines (round-4 verdict, weak #2: the
+# fine-tuner and IG speedups previously rested on single-cell/-subsample
+# extrapolation). Measured once on this container's CPU with
+# tools/measure_torch_baselines.py (2026-08-19, torch single-core, same
+# shapes/optimizer/early-stopping as the bench sections): the full
+# sequential 45-cell fine-tuning grid + final fit, and captum-equivalent
+# IG over the full 2000-sample cohort (25 steps, all 4 classes). Close to
+# the old extrapolations (25.1 est vs 22.76 measured; 13.6 est vs 12.55
+# measured), so prior published speedups stand. Re-run the tool and
+# update here if bench shapes change.
+_TORCH_MEASURED = {
+    "finetuner_grid45_s": 22.76,
+    "ig_full_cohort_s": 12.55,
+    "provenance": "tools/measure_torch_baselines.py 2026-08-19",
+}
+
+
+_DATASET_PROVENANCE = {"source": "synthetic"}
+
+
+def _fit_shape(mat, rows, cols):
+    """Tile/slice a matrix to the bench's fixed shape (keeps the
+    FLOP/MFU accounting valid for real datasets of any size)."""
+    reps = (-(-rows // mat.shape[0]), -(-cols // mat.shape[1]))
+    return np.tile(mat, reps)[:rows, :cols].astype(np.float32)
+
+
+def _try_real_dataset():
+    """FX_DATASET_DIR hook: the reference's CI benches on real public
+    cohorts (dataset1 / LGG-GBM / BRCA-METABRIC,
+    reference models-template.yml:33-51) which this zero-egress container
+    cannot fetch — the bench defaults to structured synthetic at BRCA
+    scale. If the environment ever grows an offline copy, point
+    FX_DATASET_DIR at its reference-layout root (train/ + test/ folders of
+    feature-x-sample CSVs + clin.csv): it is ingested UNCHANGED through
+    DataImporter, the headline runs on it, and the emitted result carries
+    a dataset provenance entry either way. Matrices are tiled/sliced to
+    the bench's fixed shapes (recorded in the provenance)."""
+    root = os.environ.get("FX_DATASET_DIR")
+    if not root:
+        return None
+    try:
+        tdir = os.path.join(root, "train")
+        dtypes = sorted(
+            f[:-4] for f in os.listdir(tdir)
+            if f.endswith(".csv") and f != "clin.csv"
+        )[:2]
+        if not dtypes:
+            raise ValueError(f"no omics CSVs under {tdir}")
+        from flexynesis_tpu.data.importer import DataImporter
+
+        imp = DataImporter(root, dtypes, top_percentile=100,
+                           variance_threshold=0.0, correlation_threshold=1.0)
+        train_ds, _ = imp.import_data()
+        var = next(v for v, t in train_ds.variable_types.items()
+                   if t == "categorical")
+        cls = np.asarray(train_ds.ann[var], np.float32)
+        ok = np.isfinite(cls)
+        mats = [np.asarray(train_ds.dat[t], np.float32)[ok] for t in dtypes]
+        if len(mats) == 1:
+            mats.append(mats[0])
+        cls = np.tile(cls[ok], -(-N_SAMPLES // int(ok.sum())))[:N_SAMPLES]
+        _DATASET_PROVENANCE.update(
+            source=root, data_types=dtypes, target=var,
+            original_shape=[int(ok.sum()),
+                            int(mats[0].shape[1]), int(mats[1].shape[1])],
+            fitted_to=[N_SAMPLES, GEX, CNV],
+        )
+        return (_fit_shape(mats[0], N_SAMPLES, GEX),
+                _fit_shape(mats[1], N_SAMPLES, CNV), cls)
+    except Exception as e:  # fall back to synthetic, but say why
+        _DATASET_PROVENANCE.update(
+            source="synthetic",
+            real_dataset_error=f"{type(e).__name__}: {e}"[:160],
+        )
+        return None
+
 
 def _synth():
+    real = _try_real_dataset()
+    if real is not None:
+        return real
     rng = np.random.default_rng(0)
     cls = rng.integers(0, N_CLASSES, N_SAMPLES)
     gex = (rng.normal(size=(N_SAMPLES, GEX)) + 0.5 * cls[:, None]).astype(np.float32)
@@ -244,49 +324,14 @@ def bench_ig(gex, cnv, cls):
         walls.append(time.perf_counter() - t0)
     tpu_s = float(np.min(walls))
 
-    # torch-CPU comparator (captum-equivalent math): IG on a 256-sample
-    # subsample, scaled linearly to the full cohort (IG cost is linear in
-    # samples — per-sample work is fixed)
-    import torch
-    import torch.nn as nn
-
-    sub = 256
-
-    def mlp(i, h, o):
-        return nn.Sequential(nn.Linear(i, h), nn.BatchNorm1d(h), nn.ReLU(),
-                             nn.Dropout(0.1), nn.Linear(h, o))
-
-    net = nn.ModuleDict({
-        "e1": mlp(GEX, int(GEX * HIDDEN_FACTOR), LATENT),
-        "e2": mlp(CNV, int(CNV * HIDDEN_FACTOR), LATENT),
-        "fuse": nn.Linear(2 * LATENT, LATENT),
-        "head": mlp(LATENT, SUP_HIDDEN, N_CLASSES),
-    }).eval()
-
-    def fwd(a, b):
-        return net["head"](net["fuse"](
-            torch.cat([net["e1"](a), net["e2"](b)], dim=1)))
-
-    xa = torch.tensor(gex[:sub])
-    xb = torch.tensor(cnv[:sub])
-    ba, bb = torch.zeros_like(xa), torch.zeros_like(xb)
-    alphas = torch.linspace(0, 1, 25)
-    t0 = time.perf_counter()
-    for cls_i in range(N_CLASSES):
-        total_a = torch.zeros_like(xa)
-        total_b = torch.zeros_like(xb)
-        for al in alphas:
-            ia = (ba + al * (xa - ba)).requires_grad_(True)
-            ib = (bb + al * (xb - bb)).requires_grad_(True)
-            out = fwd(ia, ib)[:, cls_i].sum()
-            ga, gb = torch.autograd.grad(out, (ia, ib))
-            total_a += ga
-            total_b += gb
-    torch_s = (time.perf_counter() - t0) * (N_SAMPLES / sub)
+    # REAL measured full-cohort torch IG cost (captum-equivalent math, all
+    # 2000 samples x 25 steps x 4 classes) — see _TORCH_MEASURED
+    torch_s = _TORCH_MEASURED["ig_full_cohort_s"]
     return {"tpu_seconds": round(tpu_s, 3),
-            "torch_cpu_seconds_est": round(torch_s, 1),
+            "torch_cpu_seconds": torch_s,
             "speedup": round(torch_s / tpu_s, 1),
-            "note": "torch cost measured on 256 samples, scaled to cohort"}
+            "note": ("torch cost = measured full-cohort IG "
+                     f"({_TORCH_MEASURED['provenance']})")}
 
 
 def _make_dataset(gex, cnv, cls):
@@ -535,6 +580,227 @@ def bench_gnn(k=512, n=800, n_nodes=300, epochs=10):
     }
 
 
+def _zoo_synth(n=1000, g=1000, c=500):
+    """Synthetic cohort at the model-zoo measurement scale (same shapes as
+    tools/measure_zoo_trials.py so the numbers stay comparable)."""
+    rng = np.random.default_rng(3)
+    cls = rng.integers(0, N_CLASSES, n)
+    gex = (rng.normal(size=(n, g)) + 0.5 * cls[:, None]).astype(np.float32)
+    cnv = (rng.normal(size=(n, c)) + 0.3 * cls[:, None]).astype(np.float32)
+    return gex, cnv, cls
+
+
+def _zoo_engine_wall(model, ds, n_train, k, epochs=10, batch=64):
+    """Warm-up + best-of-2 timed runs of a K-trial vmapped engine."""
+    from flexynesis_tpu.parallel.trials import ParallelTrials
+
+    tr = np.arange(int(n_train * 0.8))
+    va = np.arange(int(n_train * 0.8), n_train)
+    pt = ParallelTrials(model, ds)
+    lrs, seeds = np.full(k, 1e-3), np.arange(k)
+    kw = dict(train_idx=tr, val_idx=va, batch_size=batch,
+              max_epochs=epochs, epochs_per_eval=epochs)
+    pt.run(lrs=lrs, seeds=seeds, **kw)  # compile warm-up
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = pt.run(lrs=lrs, seeds=seeds, **kw)
+        walls.append(time.perf_counter() - t0)
+        assert np.all(np.isfinite(out["best_val_loss"]))
+    return float(np.min(walls))
+
+
+def bench_triplet(k=512, n=1000, g=1000, c=500, epochs=10):
+    """MultiTripletNetwork trial engine (K vmapped trials; on-device pos/neg
+    sampling, stacked 3B-row forward) vs one sequential torch-CPU trial with
+    the same shapes/loss (reference triplet CI arm,
+    models-template.yml:89-93). Mirrors tools/measure_zoo_trials.py."""
+    import torch
+    import torch.nn as nn
+
+    from flexynesis_tpu.models.triplet_encoder import MultiTripletNetwork
+
+    gex, cnv, cls = _zoo_synth(n, g, c)
+    ds = _make_dataset(gex, cnv, cls.astype(np.float32))
+    cfg = {"latent_dim": 32, "hidden_dim_factor": HIDDEN_FACTOR, "lr": 1e-3,
+           "supervisor_hidden_dim": SUP_HIDDEN, "epochs": epochs,
+           "batch_size": BATCH}
+    model = MultiTripletNetwork(cfg, ds, target_variables=["subtype"])
+    tpu_wall = _zoo_engine_wall(model, ds, model.n_train_samples(), k,
+                                epochs=epochs, batch=BATCH)
+
+    # torch-CPU single trial: stacked 3B-row forward through one BN pass
+    # (the framework's documented BN deviation), host numpy pos/neg sampling
+    def mlp(i, h, o):
+        return nn.Sequential(nn.Linear(i, h), nn.BatchNorm1d(h), nn.ReLU(),
+                             nn.Dropout(0.1), nn.Linear(h, o))
+
+    L = 32
+    e1 = mlp(g, int(g * HIDDEN_FACTOR), L)
+    e2 = mlp(c, int(c * HIDDEN_FACTOR), L)
+    fuse = nn.Linear(2 * L, L)
+    head = mlp(L, SUP_HIDDEN, N_CLASSES)
+    params = (list(e1.parameters()) + list(e2.parameters())
+              + list(fuse.parameters()) + list(head.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3)
+    ce = nn.CrossEntropyLoss()
+    ta, tb = torch.tensor(gex), torch.tensor(cnv)
+    ty = torch.tensor(cls).long()
+    groups = [np.where(cls == gi)[0] for gi in range(N_CLASSES)]
+    rng = np.random.default_rng(0)
+    nb = n // BATCH
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        perm = rng.permutation(n)[: nb * BATCH].reshape(nb, BATCH)
+        for anchor in perm:
+            agrp = cls[anchor]
+            pos = np.array([rng.choice(groups[gi]) for gi in agrp])
+            ngr = (agrp + rng.integers(1, N_CLASSES, BATCH)) % N_CLASSES
+            neg = np.array([rng.choice(groups[gi]) for gi in ngr])
+            idx3 = np.concatenate([anchor, pos, neg])
+            t3a, t3b = ta[idx3], tb[idx3]
+            opt.zero_grad()
+            emb = fuse(torch.cat([e1(t3a), e2(t3b)], dim=1))
+            a, p, n_ = emb[:BATCH], emb[BATCH:2 * BATCH], emb[2 * BATCH:]
+            d_pos = ((a - p) ** 2).sum(1)
+            d_neg = ((a - n_) ** 2).sum(1)
+            loss = torch.clamp(d_pos - d_neg + 1.0, min=0.0).mean()
+            loss = loss + ce(head(a), ty[anchor])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(params, 1.0)
+            opt.step()
+    torch_wall = time.perf_counter() - t0
+    return {"tpu_trials_per_hour": round(k * 3600.0 / tpu_wall, 1),
+            "torch_cpu_trials_per_hour": round(3600.0 / torch_wall, 1),
+            "speedup": round(k * torch_wall / tpu_wall, 2),
+            "k_trials": k}
+
+
+def bench_crossmodal(k=512, n=1000, g=1000, c=500, epochs=10):
+    """CrossModalPred gex->cnv trial engine (the reference CI's translation
+    direction, models-template.yml:83-87) vs one torch-CPU trial: encode
+    gex, per-output-layer MMD(z, 200 prior draws) + recon MSE + CE head.
+    Mirrors tools/measure_zoo_trials.py."""
+    import torch
+    import torch.nn as nn
+
+    from flexynesis_tpu.models.crossmodal_pred import CrossModalPred
+
+    gex, cnv, cls = _zoo_synth(n, g, c)
+    ds = _make_dataset(gex, cnv, cls.astype(np.float32))
+    cfg = {"latent_dim": 32, "hidden_dim_factor": HIDDEN_FACTOR, "lr": 1e-3,
+           "supervisor_hidden_dim": SUP_HIDDEN, "epochs": epochs,
+           "batch_size": BATCH}
+    model = CrossModalPred(cfg, ds, target_variables=["subtype"],
+                           input_layers=["gex"], output_layers=["cnv"])
+    tpu_wall = _zoo_engine_wall(model, ds, n, k, epochs=epochs, batch=BATCH)
+
+    # torch-CPU single trial: encode gex -> z -> decode cnv, MMD + MSE + CE
+    H1, H2, L = int(g * HIDDEN_FACTOR), int(c * HIDDEN_FACTOR), 32
+
+    class Enc(nn.Module):
+        def __init__(self, i, h):
+            super().__init__()
+            self.net = nn.Sequential(nn.Linear(i, h), nn.BatchNorm1d(h),
+                                     nn.LeakyReLU(0.2), nn.Dropout(0.1))
+            self.mu, self.lv = nn.Linear(h, L), nn.Linear(h, L)
+
+        def forward(self, x):
+            h = self.net(x)
+            return self.mu(h), self.lv(h)
+
+    enc = Enc(g, H1)
+    fm, fv = nn.Linear(L, L), nn.Linear(L, L)
+    dec = nn.Sequential(nn.Linear(L, H2), nn.BatchNorm1d(H2),
+                        nn.LeakyReLU(0.2), nn.Linear(H2, c))
+    head = nn.Sequential(nn.Linear(L, SUP_HIDDEN),
+                         nn.BatchNorm1d(SUP_HIDDEN), nn.ReLU(),
+                         nn.Linear(SUP_HIDDEN, N_CLASSES))
+    params = (list(enc.parameters()) + list(fm.parameters())
+              + list(fv.parameters()) + list(dec.parameters())
+              + list(head.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3)
+    ce = nn.CrossEntropyLoss()
+    ta, tb = torch.tensor(gex), torch.tensor(cnv)
+    ty = torch.tensor(cls).long()
+
+    def mmd(x, y):
+        def kern(a, b):
+            d = a.shape[1]
+            sq = torch.cdist(a, b) ** 2
+            return torch.exp(-sq / (d * float(d))).mean()
+        return kern(x, x) + kern(y, y) - 2 * kern(x, y)
+
+    nb = n // BATCH
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        perm = torch.randperm(n)[: nb * BATCH].reshape(nb, BATCH)
+        for idx in perm:
+            opt.zero_grad()
+            m, v = enc(ta[idx])
+            mu, lv = fm(m), fv(v)
+            z = mu + lv * torch.randn_like(lv)
+            prior = torch.randn(200, L)
+            loss = mmd(prior, z) + ((dec(z) - tb[idx]) ** 2).mean()
+            loss = loss + ce(head(z), ty[idx])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(params, 1.0)
+            opt.step()
+    torch_wall = time.perf_counter() - t0
+    return {"tpu_trials_per_hour": round(k * 3600.0 / tpu_wall, 1),
+            "torch_cpu_trials_per_hour": round(3600.0 / torch_wall, 1),
+            "speedup": round(k * torch_wall / tpu_wall, 2),
+            "k_trials": k}
+
+
+def bench_gnn_sparse(k=64, n=800, n_nodes=300, epochs=10):
+    """Sparse (segment_sum) GNN operator probe at the driver's graph shape,
+    sparse-forced below the auto threshold (SPARSE_NODE_THRESHOLD=8192).
+    This is the viability path that makes STRING-scale graphs (5-15k nodes)
+    runnable at all — dense at 8k nodes never finished compiling through
+    the tunnel while sparse compiled in 20s and ran 939 samples/s
+    (tools/measure_gnn_scale.py, real TPU, 2026-08-19). No torch arm: the
+    dense `gnn` section carries the cross-framework comparison; this
+    records the sparse operator's driver-verified throughput."""
+    import pandas as pd
+
+    from flexynesis_tpu.data.dataset import MultiOmicDataset, MultiOmicDatasetNW
+    from flexynesis_tpu.models.gnn import GNN
+
+    rng = np.random.default_rng(2)
+    cls = rng.integers(0, N_CLASSES, n)
+    genes = [f"g{i}" for i in range(n_nodes)]
+    X = (rng.normal(size=(n, n_nodes)) + 0.4 * cls[:, None]).astype(np.float32)
+    base = MultiOmicDataset(
+        dat={"gex": X}, ann={"subtype": cls.astype(np.float32)},
+        variable_types={"subtype": "categorical"},
+        features={"gex": genes}, samples=[f"S{i}" for i in range(n)],
+        label_mappings={"subtype": {i: f"grp{i}" for i in range(N_CLASSES)}},
+    )
+    src = np.concatenate([np.arange(n_nodes), rng.integers(0, n_nodes, n_nodes)])
+    dst = np.concatenate([(np.arange(n_nodes) + 1) % n_nodes,
+                          rng.integers(0, n_nodes, n_nodes)])
+    edges = pd.DataFrame({"protein1": [genes[i] for i in src],
+                          "protein2": [genes[i] for i in dst]})
+    nw = MultiOmicDatasetNW(base, edges)
+    cfg = {"latent_dim": 32, "node_embedding_dim": 16, "num_convs": 2,
+           "lr": 1e-3, "supervisor_hidden_dim": SUP_HIDDEN, "epochs": epochs,
+           "batch_size": BATCH, "activation": "relu", "gnn_sparse": True}
+    model = GNN(cfg, nw, target_variables=["subtype"], gnn_conv_type="GC")
+    assert isinstance(model._adj, dict), "sparse operator not selected"
+    tpu_wall = _zoo_engine_wall(model, nw, n, k, epochs=epochs, batch=BATCH)
+    steps = epochs * (int(n * 0.8) // BATCH)
+    return {
+        "tpu_trials_per_hour": round(k * 3600.0 / tpu_wall, 1),
+        "train_samples_per_sec": round(k * steps * BATCH / tpu_wall, 0),
+        "k_trials": k,
+        "n_nodes": n_nodes,
+        "real_edges": int(np.count_nonzero(np.asarray(model._adj["w"]))),
+        "padded_edges": int(model._adj["src"].shape[0]),
+        "note": "sparse operator forced below auto threshold (probe)",
+    }
+
+
 def bench_inference(gex, cnv, cls, repeats=3, stream_len=20):
     """Serving-style batch inference: eval-forward samples/s on the full
     cohort for a trained DirectPred, vs the equivalent torch-CPU forward.
@@ -734,16 +1000,16 @@ def bench_finetuner(gex, cnv, cls, n_finetune=256, epochs=10):
             walls.append(time.perf_counter() - t0)
     tpu_wall = float(np.min(walls))
 
-    # one torch-CPU cell at the same shapes, scaled to the 45-cell grid
-    torch_cell = bench_torch_cpu(gex[:n_finetune], cnv[:n_finetune],
-                                 cls[:n_finetune], epochs=epochs)
-    torch_grid = torch_cell * 45
+    # REAL measured full-grid torch cost (45 sequential cells + final fit
+    # with early stopping), not one-cell extrapolation — see _TORCH_MEASURED
+    torch_grid = _TORCH_MEASURED["finetuner_grid45_s"]
     return {
         "tpu_grid_seconds": round(tpu_wall, 2),
-        "torch_cpu_grid_seconds_est": round(torch_grid, 1),
+        "torch_cpu_grid_seconds": torch_grid,
         "speedup": round(torch_grid / tpu_wall, 2),
         "grid_cells": 45,
-        "note": "torch cost = one measured cell x 45 (sequential reference loop)",
+        "note": ("torch cost = measured full 45-cell sequential grid "
+                 f"({_TORCH_MEASURED['provenance']})"),
     }
 
 
@@ -787,7 +1053,7 @@ _FULL_RESULT_PATH = os.path.join(
 _STATUS_KEYS = (
     "error", "skipped_for_budget", "skipped_to_protect", "in_progress",
     "retrying_after_oom", "retried_after_oom", "retried_at_k", "partial",
-    "measurement_unstable",
+    "measurement_unstable", "rotated_out",
 )
 
 _SECTION_KEEP = {
@@ -804,6 +1070,10 @@ _SECTION_KEEP = {
         "mmd_xla_us", "mmd_pallas_us",
     ),
     "gnn": ("tpu_trials_per_hour", "speedup", "k_trials"),
+    "gnn_sparse": ("tpu_trials_per_hour", "train_samples_per_sec",
+                   "k_trials", "n_nodes"),
+    "triplet": ("tpu_trials_per_hour", "speedup", "k_trials"),
+    "crossmodal": ("tpu_trials_per_hour", "speedup", "k_trials"),
     "large_single_model": (
         "samples_per_sec", "mfu_est", "bound_by", "paired_diffs",
     ),
@@ -820,7 +1090,7 @@ _EXTRA_KEEP = (
 
 # dropped first if the compact line still overflows, least-decisive first
 _OVERFLOW_DROP_ORDER = (
-    "headline_phase_s", "csv_ingestion", "gp_overhead",
+    "headline_phase_s", "csv_ingestion", "gp_overhead", "gnn_sparse",
     "trial_count_sweep_trials_per_hour",
     "torch_cpu_trials_per_hour", "tpu_train_samples_per_sec",
     "e2e_trials_per_hour_incl_gp", "supervised_vae", "batch_inference",
@@ -839,6 +1109,12 @@ def _compact_result(result):
         if k in extras:
             cx[k] = short(extras[k])
     handled = set(_EXTRA_KEEP)
+    # dataset provenance: full record lives in BENCH_FULL.json; the line
+    # only flags a non-default (real, FX_DATASET_DIR) source
+    handled.add("dataset_provenance")
+    prov = extras.get("dataset_provenance", {})
+    if isinstance(prov, dict) and prov.get("source", "synthetic") != "synthetic":
+        cx["dataset"] = short(prov["source"], 40)
     for sec, keep in _SECTION_KEEP.items():
         handled.add(sec)
         v = extras.get(sec)
@@ -924,6 +1200,15 @@ _SECTION_EST_S = {
     "gp": 5,
     "e2e": 75,
     "ingestion": 8,
+    # round-5 additions (calibrated on a real-TPU builder run 2026-08-19):
+    # each zoo engine pays its own warm-tunnel compile + best-of-2 timed
+    # runs + a ~2s torch arm; the sparse probe is engine-compile-dominated
+    # warm-tunnel observed (builder 2026-08-19): triplet 63s, crossmodal
+    # 39s; the sparse probe compiled in a fresh process at 282s but the
+    # in-driver cost is the warm-tunnel engine compile (~25-40s)
+    "triplet": 60,
+    "crossmodal": 45,
+    "gnn_sparse": 35,
 }
 
 # sections at or below this estimate bypass the must-run budget reserve
@@ -1401,6 +1686,7 @@ def _main_body(budget_s: float):
     _write_snapshot(result)  # a killed worker still yields a valid line
 
     gex, cnv, cls = _synth()
+    extras["dataset_provenance"] = dict(_DATASET_PROVENANCE)
 
     # phase attribution for the pre-section block: the first r04 builder
     # run burned ~315s here (vs ~150s fair — tunnel-contended compile)
@@ -1523,13 +1809,34 @@ def _main_body(budget_s: float):
                 lambda: bench_finetuner(gex, cnv, cls),
                 fallback=lambda: bench_finetuner(gex, cnv, cls))
 
-    # vae runs LAST: it is the most expensive remaining section (K=1024
-    # engine, 62-119s observed) and its number is already driver-verified
-    # (BENCH_r03: 559k trials/h) — under a contended tunnel it is the
-    # right section to lose
+    # round-5 rotation (r04 verdict): the two model families never in a
+    # driver artifact (triplet, crossmodal) plus the sparse-operator probe
+    # run BEFORE vae — vae (driver-verified in BENCH_r03 AND r04) is the
+    # designated section to rotate out when the budget can't cover all
     _free_hbm()
-    run_section("supervised_vae", "vae", bench_vae,
-                fallback=lambda: dict(bench_vae(k=512), retried_at_k=512))
+    run_section("triplet", "triplet", bench_triplet,
+                fallback=lambda: dict(bench_triplet(k=256), retried_at_k=256))
+    _free_hbm()
+    run_section("crossmodal", "crossmodal", bench_crossmodal,
+                fallback=lambda: dict(bench_crossmodal(k=256), retried_at_k=256))
+    _free_hbm()
+    run_section("gnn_sparse", "gnn_sparse", bench_gnn_sparse)
+
+    # vae runs LAST: the most expensive remaining section (K=1024 engine,
+    # 62-119s observed), twice driver-verified — when the budget is spent
+    # it carries an explicit rotation marker instead of a budget-skip so
+    # the artifact records the deliberate trade (docs/performance.md)
+    _free_hbm()
+    if sections._remaining() >= _SECTION_EST_S["vae"]:
+        run_section("supervised_vae", "vae", bench_vae,
+                    fallback=lambda: dict(bench_vae(k=512), retried_at_k=512))
+    else:
+        extras["supervised_vae"] = {
+            "section": "vae", "rotated_out": True,
+            "driver_verified_in": "BENCH_r03+BENCH_r04",
+            "remaining_s": round(sections._remaining(), 1),
+        }
+        _write_snapshot(result)
 
     extras["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     _write_snapshot(result)

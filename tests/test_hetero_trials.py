@@ -594,6 +594,68 @@ class TestGNNHetero:
             out_mesh["best_val_loss"], out_plain["best_val_loss"], rtol=5e-2
         )
 
+    def test_gnn_sparse_mixed_round_mesh_sharded_matches_unsharded(self, rng):
+        """Round-4 verdict item 4: the SPARSE edge-dict operator must
+        compose with hetero padding AND mesh sharding. The sparse adjacency
+        is a {src,dst,w,...} pytree riding the batch as a '_adj' broadcast
+        entry (trials.py '_'-prefix contract): it must broadcast WHOLE
+        under NamedSharding while per-trial params/opt/masks shard over the
+        trial axis. Also pins operator parity end-to-end: the sparse
+        mesh-sharded engine reproduces the DENSE unsharded engine's losses
+        on the same graph (GNNNet params are operator-independent, so the
+        strict one-step arm compares the same function)."""
+        from flexynesis_tpu.models.gnn import GNN
+        from flexynesis_tpu.parallel.hetero import build_padded_trials, max_config
+        from flexynesis_tpu.parallel.mesh import get_mesh
+        from flexynesis_tpu.parallel.trials import vmapped_grid_fit
+
+        ds = self._nw_ds(rng, n=64)
+        configs = [
+            self._gnn_cfg(node_embedding_dim=4, lr=0.01),
+            self._gnn_cfg(node_embedding_dim=8, latent_dim=32, lr=0.005),
+        ] * 4  # 8 trials -> one per device on the trial mesh
+        template_cfg = max_config(configs, [ds.dat["all"].shape[1]])
+        template_cfg["gnn_sparse"] = True
+        model = GNN(template_cfg, ds, target_variables=["subtype"],
+                    gnn_conv_type="GC")
+        assert isinstance(model._adj, dict)  # sparse operator selected
+        trials = build_padded_trials(model, configs, seeds=np.arange(8))
+        common = dict(
+            start_params=trials["params"], start_stats=trials["batch_stats"],
+            lrs=np.asarray([c["lr"] for c in configs], np.float32),
+            seeds=np.arange(8),
+            train_idx=np.tile(np.arange(48), (8, 1)),
+            val_idx=np.tile(np.arange(48, 64), (8, 1)),
+            masks=trials["masks"],
+        )
+        mesh = get_mesh((("trial", 8),))
+        # strict arm (one full-batch step, f32): sparse meshed == sparse
+        # unsharded == dense unsharded to float-rounding level
+        strict = dict(common, batch_size=48, max_epochs=1,
+                      param_dtype="float32")
+        out_plain = vmapped_grid_fit(model, ds, **strict)
+        out_mesh = vmapped_grid_fit(model, ds, mesh=mesh, **strict)
+        np.testing.assert_allclose(
+            out_mesh["best_val_loss"], out_plain["best_val_loss"], atol=1e-4
+        )
+        dense_cfg = dict(template_cfg, gnn_sparse=False)
+        dense = GNN(dense_cfg, ds, target_variables=["subtype"],
+                    gnn_conv_type="GC")
+        assert not isinstance(dense._adj, dict)
+        out_dense = vmapped_grid_fit(dense, ds, **strict)
+        np.testing.assert_allclose(
+            out_mesh["best_val_loss"], out_dense["best_val_loss"], atol=1e-4
+        )
+        # loose arm: real multi-epoch sparse training stays statistically
+        # equivalent sharded vs unsharded
+        loose = dict(common, batch_size=16, max_epochs=4)
+        out_plain = vmapped_grid_fit(model, ds, **loose)
+        out_mesh = vmapped_grid_fit(model, ds, mesh=mesh, **loose)
+        assert np.all(np.isfinite(out_mesh["best_val_loss"]))
+        np.testing.assert_allclose(
+            out_mesh["best_val_loss"], out_plain["best_val_loss"], rtol=5e-2
+        )
+
     def test_bucket_key_splits_on_num_convs(self):
         from flexynesis_tpu.parallel.hetero import bucket_key
 
